@@ -1,0 +1,189 @@
+"""Ray / conical-frustum math for the mip-NeRF 360 scene model.
+
+Pure-jnp reimplementation of the reference scene math
+(ref: 1st_State-Conditional_Scene/src/model/mipnerf360/helper.py), designed
+TPU-first:
+
+* The scene contraction's covariance propagation uses the *closed-form*
+  Jacobian of the contraction instead of the reference's per-sample
+  ``functorch.vmap(jacrev)`` (helper.py:26-60) — one fused elementwise
+  expression plus two small matmuls instead of per-sample 3x3 autodiff.
+* The reference detaches the contracted mean/cov (helper.py:57-60); we
+  replicate with ``lax.stop_gradient`` (load-bearing for training dynamics).
+
+All functions are shape-polymorphic over leading batch dims and contain no
+data-dependent control flow, so they trace once under ``jit``/``pjit``.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+# float32 machine epsilon, matching the reference's `eps` (helper.py:18).
+EPS = 1.1920929e-07
+
+# 3x3 covariance/basis contractions are tiny; run them at full f32 precision
+# rather than the TPU-default bf16 matmul.
+_PREC = jax.lax.Precision.HIGHEST
+
+
+def contract_points(x: jnp.ndarray) -> jnp.ndarray:
+    """The mip-NeRF 360 scene contraction applied to points.
+
+    f(x) = x                       if ||x|| <= 1
+         = ((2||x|| - 1)/||x||^2) x  otherwise
+
+    Valid for ||x|| < ~1e18 (f32: ||x||^2 must not overflow); scene points
+    are bounded by the ray `far` (<= 1e6 in all configs).
+    ref: helper.py:30-35 (`_contract`).
+    """
+    x_mag_sq = jnp.maximum(jnp.sum(x**2, axis=-1, keepdims=True), 1e-32)
+    x_mag = jnp.sqrt(x_mag_sq)
+    scale = jnp.where(x_mag_sq <= 1.0, 1.0, (2.0 * x_mag - 1.0) / x_mag_sq)
+    return scale * x
+
+
+def contract_jacobian(x: jnp.ndarray) -> jnp.ndarray:
+    """Closed-form Jacobian of :func:`contract_points`, shape [..., 3, 3].
+
+    For r = ||x|| > 1, with s(r) = (2r-1)/r^2:
+        J = s(r) I + s'(r)/r * x x^T,   s'(r) = (2 - 2r)/r^3
+    For r <= 1, J = I. Replaces the reference's per-sample
+    ``functorch.jacrev`` (helper.py:41-52).
+    """
+    dim = x.shape[-1]
+    r_sq = jnp.maximum(jnp.sum(x**2, axis=-1, keepdims=True), 1e-32)
+    r = jnp.sqrt(r_sq)
+    inside = (r_sq <= 1.0)[..., None]  # [..., 1, 1]
+    s = (2.0 * r - 1.0) / r_sq  # [..., 1]
+    c = (2.0 - 2.0 * r) / (r_sq * r_sq)  # s'(r)/r, [..., 1]
+    eye = jnp.eye(dim, dtype=x.dtype)
+    outer = x[..., :, None] * x[..., None, :]
+    jac_out = s[..., None] * eye + c[..., None] * outer
+    return jnp.where(inside, eye, jac_out)
+
+
+def contract(mean: jnp.ndarray, cov: jnp.ndarray):
+    """Contract gaussians (mean [..., 3], cov [..., 3, 3]) into the warped
+    domain, propagating covariance through the closed-form Jacobian.
+
+    Both outputs are wrapped in ``stop_gradient`` exactly as the reference
+    detaches them (helper.py:57-60).
+    """
+    jac = contract_jacobian(mean)
+    new_mean = contract_points(mean)
+    new_cov = jnp.einsum("...ij,...jk,...lk->...il", jac, cov, jac,
+                         precision=_PREC)
+    return jax.lax.stop_gradient(new_mean), jax.lax.stop_gradient(new_cov)
+
+
+def lift_and_diagonalize(means: jnp.ndarray, covs: jnp.ndarray, basis: jnp.ndarray):
+    """Project gaussians onto `basis` [3, n]; return (means', diag vars').
+
+    ref: helper.py:62-65.
+    """
+    fn_mean = jnp.matmul(means, basis, precision=_PREC)
+    fn_cov_diag = jnp.sum(basis * jnp.matmul(covs, basis, precision=_PREC),
+                          axis=-2)
+    return fn_mean, fn_cov_diag
+
+
+def expected_sin(mean: jnp.ndarray, var: jnp.ndarray) -> jnp.ndarray:
+    """E[sin(z)] for z ~ N(mean, var). ref: helper.py:89-90."""
+    return jnp.exp(-0.5 * var) * jnp.sin(mean)
+
+
+def integrated_pos_enc(mean: jnp.ndarray, var: jnp.ndarray, min_deg: int, max_deg: int):
+    """Integrated positional encoding of a diagonal gaussian.
+
+    ref: helper.py:67-78.
+    """
+    scales = 2.0 ** jnp.arange(min_deg, max_deg, dtype=mean.dtype)
+    shape = mean.shape[:-1] + (-1,)
+    scaled_mean = jnp.reshape(mean[..., None, :] * scales[:, None], shape)
+    scaled_var = jnp.reshape(var[..., None, :] * scales[:, None] ** 2, shape)
+    return expected_sin(
+        jnp.concatenate([scaled_mean, scaled_mean + 0.5 * jnp.pi], axis=-1),
+        jnp.concatenate([scaled_var, scaled_var], axis=-1),
+    )
+
+
+def pos_enc(x: jnp.ndarray, min_deg: int, max_deg: int, append_identity: bool = True):
+    """Classic NeRF sinusoidal positional encoding. ref: helper.py:80-87."""
+    scales = 2.0 ** jnp.arange(min_deg, max_deg, dtype=x.dtype)
+    xb = jnp.reshape(x[..., None, :] * scales[:, None], x.shape[:-1] + (-1,))
+    four_feat = jnp.sin(jnp.concatenate([xb, xb + 0.5 * jnp.pi], axis=-1))
+    if append_identity:
+        return jnp.concatenate([x, four_feat], axis=-1)
+    return four_feat
+
+
+def construct_ray_warps(t_near, t_far):
+    """Return (t_to_s, s_to_t) for the 1/t metric warp. ref: helper.py:146-150."""
+    s_near, s_far = 1.0 / t_near, 1.0 / t_far
+
+    def t_to_s(t):
+        return (1.0 / t - s_near) / (s_far - s_near)
+
+    def s_to_t(s):
+        return 1.0 / (s * s_far + (1.0 - s) * s_near)
+
+    return t_to_s, s_to_t
+
+
+def lift_gaussian(d: jnp.ndarray, t_mean: jnp.ndarray, t_var: jnp.ndarray,
+                  r_var: jnp.ndarray, diag: bool):
+    """Lift a 1D gaussian along ray direction `d` into 3D. ref: helper.py:281-302."""
+    mean = d[..., None, :] * t_mean[..., None]
+    d_mag_sq = jnp.maximum(jnp.sum(d**2, axis=-1, keepdims=True), 1e-10)
+
+    if diag:
+        d_outer_diag = d**2
+        null_outer_diag = 1.0 - d_outer_diag / d_mag_sq
+        t_cov_diag = t_var[..., None] * d_outer_diag[..., None, :]
+        xy_cov_diag = r_var[..., None] * null_outer_diag[..., None, :]
+        return mean, t_cov_diag + xy_cov_diag
+
+    d_outer = d[..., :, None] * d[..., None, :]
+    eye = jnp.eye(d.shape[-1], dtype=d.dtype)
+    null_outer = eye - d[..., :, None] * (d / d_mag_sq)[..., None, :]
+    t_cov = t_var[..., None, None] * d_outer[..., None, :, :]
+    xy_cov = r_var[..., None, None] * null_outer[..., None, :, :]
+    return mean, t_cov + xy_cov
+
+
+def conical_frustum_to_gaussian(d, t0, t1, radius, diag):
+    """Approximate a conical frustum with a gaussian. ref: helper.py:257-267."""
+    mu = (t0 + t1) / 2.0
+    hw = (t1 - t0) / 2.0
+    denom = jnp.maximum(3.0 * mu**2 + hw**2, EPS)
+    t_mean = mu + (2.0 * mu * hw**2) / denom
+    t_var = hw**2 / 3.0 - (4.0 / 15.0) * hw**4 * (12.0 * mu**2 - hw**2) / denom**2
+    r_var = mu**2 / 4.0 + (5.0 / 12.0) * hw**2 - (4.0 / 15.0) * hw**4 / denom
+    r_var = r_var * radius**2
+    return lift_gaussian(d, t_mean, t_var, r_var, diag)
+
+
+def cylinder_to_gaussian(d, t0, t1, radius, diag):
+    """Approximate a cylinder segment with a gaussian. ref: helper.py:271-277."""
+    t_mean = (t0 + t1) / 2.0
+    r_var = radius**2 / 4.0
+    t_var = (t1 - t0) ** 2 / 12.0
+    return lift_gaussian(d, t_mean, t_var, r_var, diag)
+
+
+def cast_rays(t_vals, origins, directions, radii, ray_shape: str = "cone",
+              diag: bool = True):
+    """Cast rays as gaussians over the intervals in `t_vals`. ref: helper.py:242-253."""
+    t0 = t_vals[..., :-1]
+    t1 = t_vals[..., 1:]
+    if ray_shape == "cone":
+        gaussian_fn = conical_frustum_to_gaussian
+    elif ray_shape == "cylinder":
+        gaussian_fn = cylinder_to_gaussian
+    else:
+        raise ValueError(f"unknown ray_shape {ray_shape!r}")
+    means, covs = gaussian_fn(directions, t0, t1, radii, diag)
+    means = means + origins[..., None, :]
+    return means, covs
