@@ -1,0 +1,297 @@
+"""State-conditional mip-NeRF 360 scene model (stage 1), flax.linen.
+
+TPU-first redesign of the reference's scene stack
+(ref: 1st_State-Conditional_Scene/src/model/mipnerf360/model.py):
+
+* the per-sample MLP evaluation is a dense batched matmul over
+  [rays x samples, width] activations (MXU-friendly);
+* the 70-line state-embedding if/elif ladder collapses into one gather
+  (models/state.py), making `time` a traced scalar;
+* the level loop is a static python loop (3 levels) traced once under jit —
+  no data-dependent control flow;
+* stage-3 needs raw per-sample outputs, so the sampler always records
+  per-level rgb/density/tdist in `ray_history` (cheap; the reference forked
+  a whole copy of the model for this, 3rd.../model.py:534-540).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from hosnerf_tpu.core import geopoly, rays as ray_math, render, stepfun
+from hosnerf_tpu.models.layers import TorchLinear, kaiming_uniform
+
+
+class MipMLP(nn.Module):
+    """The scene MLP (ref: model.py:27-264, `MipNeRF360MLP`).
+
+    density trunk: netdepth x netwidth with input-concat skips every
+    `skip_layer`; inputs = IPE(contracted lifted gaussians) ++ 64-d state
+    embedding. view branch: bottleneck ++ PE(viewdir) -> netdepth_condition x
+    netwidth_condition -> rgb.
+    """
+
+    num_states: int = 1
+    netdepth: int = 8
+    netwidth: int = 256
+    bottleneck_width: int = 256
+    netdepth_condition: int = 1
+    netwidth_condition: int = 128
+    min_deg_point: int = 0
+    max_deg_point: int = 12
+    skip_layer: int = 4
+    skip_layer_dir: int = 4
+    num_rgb_channels: int = 3
+    deg_view: int = 4
+    bottleneck_noise: float = 0.0
+    density_bias: float = -1.0
+    density_noise: float = 0.0
+    rgb_premultiplier: float = 1.0
+    rgb_bias: float = 0.0
+    rgb_padding: float = 0.001
+    basis_shape: str = "icosahedron"
+    basis_subdivision: int = 2
+    disable_rgb: bool = False
+    state_embedding_size: int = 64
+
+    def setup(self):
+        self.pos_basis = jnp.asarray(
+            geopoly.generate_basis(self.basis_shape, self.basis_subdivision))
+        # one 64-d embedding per state (ref: model.py:83-85,
+        # `bkgd_stateembeds` ParameterList of randn vectors)
+        self.state_embeds = self.param(
+            "state_embeds", nn.initializers.normal(stddev=1.0),
+            (self.num_states, self.state_embedding_size))
+
+    def predict_density(self, means, covs, state_idx, randomized=False,
+                        rng=None):
+        """ref: model.py:126-222."""
+        means, covs = ray_math.contract(means, covs)
+        lifted_means, lifted_vars = ray_math.lift_and_diagonalize(
+            means, covs, self.pos_basis)
+        x = ray_math.integrated_pos_enc(
+            lifted_means, lifted_vars, self.min_deg_point, self.max_deg_point)
+
+        embed = self.state_embeds[state_idx]  # [..., E] or [E]
+        embed = jnp.broadcast_to(embed, x.shape[:-1] + (embed.shape[-1],))
+        x = jnp.concatenate([x, embed], axis=-1)
+
+        inputs = x
+        for idx in range(self.netdepth):
+            x = TorchLinear(self.netwidth, name=f"pts_linear_{idx}")(x)
+            x = jax.nn.relu(x)
+            if idx % self.skip_layer == 0 and idx > 0:
+                x = jnp.concatenate([x, inputs], axis=-1)
+
+        raw_density = TorchLinear(1, name="density_layer")(x)[..., 0]
+        if self.density_noise > 0.0 and randomized:
+            raw_density = raw_density + self.density_noise * jax.random.uniform(
+                rng, raw_density.shape)
+        return raw_density, x
+
+    @nn.compact
+    def __call__(self, gaussians, viewdirs, state_idx, randomized=False,
+                 rng=None):
+        means, covs = gaussians
+        raw_density, x = self.predict_density(
+            means, covs, state_idx, randomized, rng)
+        density = jax.nn.softplus(raw_density + self.density_bias)
+
+        if self.disable_rgb:
+            return {"density": density, "rgb": jnp.zeros_like(means)}
+
+        bottleneck = TorchLinear(self.bottleneck_width, name="bottleneck_layer")(x)
+        if self.bottleneck_noise > 0.0 and randomized:
+            bottleneck = bottleneck + self.bottleneck_noise * jax.random.uniform(
+                rng, bottleneck.shape)
+
+        dir_enc = ray_math.pos_enc(viewdirs, 0, self.deg_view, True)
+        dir_enc = jnp.broadcast_to(
+            dir_enc[..., None, :],
+            bottleneck.shape[:-1] + (dir_enc.shape[-1],))
+        x = jnp.concatenate([bottleneck, dir_enc], axis=-1)
+
+        inputs = x
+        for idx in range(self.netdepth_condition):
+            x = TorchLinear(self.netwidth_condition, name=f"views_linear_{idx}")(x)
+            x = jax.nn.relu(x)
+            if idx % self.skip_layer_dir == 0 and idx > 0:
+                x = jnp.concatenate([x, inputs], axis=-1)
+
+        x = TorchLinear(self.num_rgb_channels, name="rgb_layer")(x)
+        rgb = jax.nn.sigmoid(self.rgb_premultiplier * x + self.rgb_bias)
+        rgb = rgb * (1.0 + 2.0 * self.rgb_padding) - self.rgb_padding
+        return {"density": density, "rgb": rgb}
+
+
+class SceneField(nn.Module):
+    """Hierarchical proposal sampler + MLPs (ref: model.py:291-461,
+    `MipNeRF360`). Two 4x256 density-only PropMLPs + one 8x1024 NeRFMLP by
+    default."""
+
+    num_states: int = 1
+    num_prop_samples: int = 64
+    num_nerf_samples: int = 32
+    num_levels: int = 3
+    bg_intensity_range: Tuple[float, float] = (1.0, 1.0)
+    anneal_slope: float = 10.0
+    stop_level_grad: bool = True
+    ray_shape: str = "cone"
+    disable_integration: bool = False
+    single_jitter: bool = True
+    dilation_multiplier: float = 0.5
+    dilation_bias: float = 0.0025
+    near_anneal_rate: Optional[float] = None
+    near_anneal_init: float = 0.95
+    resample_padding: float = 0.0
+    opaque_background: bool = False
+    prop_netdepth: int = 4
+    prop_netwidth: int = 256
+    nerf_netdepth: int = 8
+    nerf_netwidth: int = 1024
+
+    def setup(self):
+        mlps = []
+        for i in range(self.num_levels - 1):
+            mlps.append(MipMLP(
+                num_states=self.num_states, netdepth=self.prop_netdepth,
+                netwidth=self.prop_netwidth, disable_rgb=True,
+                name=f"prop_mlp_{i}"))
+        mlps.append(MipMLP(
+            num_states=self.num_states, netdepth=self.nerf_netdepth,
+            netwidth=self.nerf_netwidth, name="nerf_mlp"))
+        self.mlps = mlps
+
+    def __call__(self, batch: Dict[str, Any], train_frac: float,
+                 randomized: bool, state_idx, near, far,
+                 rng: Optional[jax.Array] = None):
+        """batch needs rays_o, rays_d, viewdirs, radii. Returns
+        (renderings, ray_history); ray_history[-1] additionally carries the
+        raw per-sample rgb/density/tdist needed by stage-3 composition."""
+        bsz = batch["rays_o"].shape[0]
+        dtype = batch["rays_o"].dtype
+
+        _, s_to_t = ray_math.construct_ray_warps(near, far)
+        if self.near_anneal_rate is None:
+            init_s_near = 0.0
+        else:
+            init_s_near = jnp.clip(
+                1.0 - train_frac / self.near_anneal_rate, 0.0, 1.0)
+        init_s_far = 1.0
+
+        sdist = jnp.concatenate([
+            jnp.full((bsz, 1), init_s_near, dtype),
+            jnp.full((bsz, 1), init_s_far, dtype),
+        ], axis=-1)
+        weights = jnp.ones((bsz, 1), dtype)
+        prod_num_samples = 1
+
+        ray_history: List[Dict[str, Any]] = []
+        renderings: List[Dict[str, Any]] = []
+
+        for i_level in range(self.num_levels):
+            is_prop = i_level < (self.num_levels - 1)
+            num_samples = (self.num_prop_samples if is_prop
+                           else self.num_nerf_samples)
+
+            dilation = (self.dilation_bias + self.dilation_multiplier
+                        * (init_s_far - init_s_near) / prod_num_samples)
+            prod_num_samples *= num_samples
+            use_dilation = self.dilation_bias > 0 or self.dilation_multiplier > 0
+
+            if i_level > 0 and use_dilation:
+                sdist, weights = stepfun.max_dilate_weights(
+                    sdist, weights, dilation,
+                    domain=(init_s_near, init_s_far), renormalize=True)
+                sdist = sdist[..., 1:-1]
+                weights = weights[..., 1:-1]
+
+            if self.anneal_slope > 0:
+                s = self.anneal_slope
+                anneal = (s * train_frac) / ((s - 1) * train_frac + 1)
+            else:
+                anneal = 1.0
+
+            logits_resample = jnp.where(
+                sdist[..., 1:] > sdist[..., :-1],
+                anneal * jnp.log(weights + self.resample_padding),
+                -jnp.inf)
+
+            level_rng = None
+            if randomized and rng is not None:
+                rng, level_rng = jax.random.split(rng)
+            sdist = stepfun.sample_intervals(
+                level_rng, randomized and rng is not None, sdist,
+                logits_resample, num_samples,
+                single_jitter=self.single_jitter,
+                domain=(init_s_near, init_s_far))
+
+            if self.stop_level_grad:
+                sdist = jax.lax.stop_gradient(sdist)
+
+            tdist = s_to_t(sdist)
+
+            gaussians = ray_math.cast_rays(
+                tdist, batch["rays_o"], batch["rays_d"], batch["radii"],
+                self.ray_shape, diag=False)
+            if self.disable_integration:
+                gaussians = (gaussians[0], jnp.zeros_like(gaussians[1]))
+
+            mlp_rng = None
+            if randomized and rng is not None:
+                rng, mlp_rng = jax.random.split(rng)
+            ray_results = self.mlps[i_level](
+                gaussians, batch["viewdirs"], state_idx,
+                randomized=randomized, rng=mlp_rng)
+
+            weights = render.compute_alpha_weights(
+                ray_results["density"], tdist, batch["rays_d"],
+                opaque_background=self.opaque_background)[0]
+
+            if self.bg_intensity_range[0] == self.bg_intensity_range[1]:
+                bg_rgbs = self.bg_intensity_range[0]
+            elif not randomized or rng is None:
+                bg_rgbs = (self.bg_intensity_range[0]
+                           + self.bg_intensity_range[1]) / 2.0
+            else:
+                rng, bg_rng = jax.random.split(rng)
+                bg_rgbs = (jax.random.uniform(bg_rng, (3,))
+                           * (self.bg_intensity_range[1]
+                              - self.bg_intensity_range[0])
+                           + self.bg_intensity_range[0])
+
+            rendering = render.volumetric_rendering(
+                ray_results["rgb"], weights, bg_rgbs)
+
+            ray_results = dict(ray_results)
+            ray_results["sdist"] = sdist
+            ray_results["tdist"] = tdist
+            ray_results["weights"] = weights
+            ray_history.append(ray_results)
+            renderings.append(rendering)
+
+        return renderings, ray_history
+
+
+def interlevel_loss(ray_history) -> jnp.ndarray:
+    """Proposal supervision (ref: model.py:611-620)."""
+    c = jax.lax.stop_gradient(ray_history[-1]["sdist"])
+    w = jax.lax.stop_gradient(ray_history[-1]["weights"])
+    loss = 0.0
+    for ray_results in ray_history[:-1]:
+        cp = ray_results["sdist"]
+        wp = ray_results["weights"]
+        loss += jnp.mean(stepfun.lossfun_outer(c, w, cp, wp))
+    return loss
+
+
+def distortion_loss(ray_history) -> jnp.ndarray:
+    """ref: model.py:622-627."""
+    c = ray_history[-1]["sdist"]
+    w = ray_history[-1]["weights"]
+    return jnp.mean(stepfun.lossfun_distortion(c, w))
