@@ -1,0 +1,59 @@
+"""Positional embedders for the human-object model.
+
+Matches the reference's two embedders:
+* classic NeRF fourier PE with identity prepended and per-frequency
+  [sin, cos] interleaving (ref: 2nd_State_Conditional_Human-Object/
+  core/nets/human_nerf/embedders/fourier.py:13-57);
+* hann-window-annealed PE gated by kick_in_iter/full_band_iter, no identity
+  (ref: embedders/hannw_fourier.py:15-72). The window is computed from a
+  *traced* iter_val, so training stays single-compile.
+
+Feature LAYOUT matters for checkpoint import: the reference concatenates
+[x, sin(f0 x), cos(f0 x), sin(f1 x), cos(f1 x), ...] over the last axis
+(each term is the full 3-vector).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def fourier_embed(x: jnp.ndarray, multires: int,
+                  include_input: bool = True) -> jnp.ndarray:
+    """[..., d] -> [..., d*(include + 2*multires)] with reference layout."""
+    freqs = 2.0 ** np.linspace(0.0, multires - 1, multires)
+    feats = [x] if include_input else []
+    for f in freqs:
+        feats.append(jnp.sin(x * f))
+        feats.append(jnp.cos(x * f))
+    return jnp.concatenate(feats, axis=-1)
+
+
+def fourier_embed_dim(multires: int, include_input: bool = True,
+                      input_dims: int = 3) -> int:
+    return input_dims * ((1 if include_input else 0) + 2 * multires)
+
+
+def hann_alpha(iter_val, kick_in_iter: float, full_band_iter: float,
+               multires: int):
+    """Annealing progress alpha = m * max(iter-kick,0) / (full-kick).
+    ref: hannw_fourier.py:34-40."""
+    t = jnp.maximum(jnp.asarray(iter_val, jnp.float32) - kick_in_iter, 0.0)
+    n = full_band_iter - kick_in_iter
+    return multires * t / n
+
+
+def hannw_fourier_embed(x: jnp.ndarray, multires: int, alpha) -> jnp.ndarray:
+    """Hann-windowed PE, no identity term. [..., d] -> [..., d*2*multires].
+
+    w_j = (1 - cos(pi * clamp(alpha - j, 0, 1))) / 2  (ref: :42-44).
+    """
+    freqs = 2.0 ** np.linspace(0.0, multires - 1, multires)
+    feats = []
+    for j, f in enumerate(freqs):
+        w = (1.0 - jnp.cos(
+            jnp.pi * jnp.clip(alpha - j, 0.0, 1.0))) / 2.0
+        feats.append(w * jnp.sin(x * f))
+        feats.append(w * jnp.cos(x * f))
+    return jnp.concatenate(feats, axis=-1)

@@ -1,0 +1,256 @@
+"""The state-conditional dynamic human-object field (stage 2).
+
+TPU-first redesign of the reference Network
+(ref: 2nd_State_Conditional_Human-Object/core/nets/human_nerf/network.py):
+
+* no chunked `_batchify_rays`/`_apply_mlp_kernals` python loops — the ray
+  and sample axes stay dense and static-shape (eval batching happens on the
+  host);
+* the inverse LBS is one batched einsum + fused per-channel trilinear gather
+  (ops/lbs.py) instead of 26 sequential grid_sample calls;
+* the cycle-consistency branch replaces data-dependent boolean indexing
+  (network.py:504-535) with full-sample computation + mask, keeping shapes
+  static under jit (the loss applies the mask);
+* the previous-frame scene-flow branch (network.py:472-501) is only traced
+  when `is_train` (a static python flag), and the loss gates it by
+  `time > 0.005`;
+* state embeddings switch via one gather (models/state.py) rather than an
+  if/elif ladder;
+* pose-refinement / non-rigid kick-in gates take `iter_val` as a *traced*
+  scalar — one compiled program for the whole training run.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from hosnerf_tpu.core import body as body_math
+from hosnerf_tpu.core import render
+from hosnerf_tpu.models import embedders
+from hosnerf_tpu.models.human_components import (BodyPoseRefiner,
+                                                 CanonicalMLP,
+                                                 MotionWeightVolumeDecoder,
+                                                 NonRigidMLP)
+
+_PREC = jax.lax.Precision.HIGHEST
+
+
+class HumanObjectField(nn.Module):
+    total_bones: int = 26
+    n_samples: int = 128
+    num_states: int = 1
+    state_embedding_size: int = 64
+    # canonical mlp (ref: configs/default.yaml:25-30)
+    cnl_multires: int = 10
+    cnl_mlp_depth: int = 8
+    cnl_mlp_width: int = 256
+    # non-rigid mlps (ref: configs/default.yaml:37-58)
+    nr_multires: int = 6
+    nr_mlp_depth: int = 6
+    nr_mlp_width: int = 128
+    nr_skips: Sequence[int] = (4,)
+    nr_condition_code_size: int = 75
+    nr_kick_in_iter: int = 10_000
+    nr_full_band_iter: int = 50_000
+    # pose decoder (ref: configs/default.yaml:61-65)
+    pose_embedding_size: int = 75
+    pose_mlp_width: int = 256
+    pose_mlp_depth: int = 4
+    pose_kick_in_iter: int = 0
+    # motion weight volume (ref: configs/default.yaml:32-36)
+    mweight_embedding_size: int = 256
+    mweight_volume_size: int = 32
+    ignore_non_rigid_motions: bool = False
+
+    def setup(self):
+        self.pose_decoder = BodyPoseRefiner(
+            total_bones=self.total_bones, mlp_width=self.pose_mlp_width,
+            mlp_depth=self.pose_mlp_depth, name="pose_decoder")
+        self.mweight_vol_decoder = MotionWeightVolumeDecoder(
+            embedding_size=self.mweight_embedding_size,
+            volume_size=self.mweight_volume_size,
+            total_bones=self.total_bones, name="mweight_vol_decoder")
+        self.non_rigid_mlp = NonRigidMLP(
+            mlp_depth=self.nr_mlp_depth, mlp_width=self.nr_mlp_width,
+            skips=self.nr_skips, name="non_rigid_mlp")
+        self.non_rigid_forward_mlp = NonRigidMLP(
+            mlp_depth=self.nr_mlp_depth, mlp_width=self.nr_mlp_width,
+            skips=self.nr_skips, name="non_rigid_forward_mlp")
+        self.cnl_mlp = CanonicalMLP(
+            mlp_depth=self.cnl_mlp_depth, mlp_width=self.cnl_mlp_width,
+            name="cnl_mlp")
+        # ref: network.py:83-85 (`human_stateembeds`)
+        self.state_embeds = self.param(
+            "state_embeds", nn.initializers.normal(stddev=1.0),
+            (self.num_states, self.state_embedding_size))
+
+    # ------------------------------------------------------------------
+    def _refine_pose(self, dst_Rs, dst_Ts, dst_posevec, iter_val):
+        """Apply the pose decoder's residual rotations/translations to all
+        non-root bones, gated by iter_val (ref: network.py:589-604)."""
+        out = self.pose_decoder(dst_posevec)
+        refined_Rs, refined_Ts = out["Rs"], out["Ts"]
+        new_Rs = jnp.concatenate([
+            dst_Rs[:1],
+            jnp.matmul(dst_Rs[1:], refined_Rs, precision=_PREC)], axis=0)
+        new_Ts = jnp.concatenate([dst_Ts[:1], dst_Ts[1:] + refined_Ts],
+                                 axis=0)
+        gate = jnp.asarray(iter_val, jnp.float32) >= self.pose_kick_in_iter
+        return (jnp.where(gate, new_Rs, dst_Rs),
+                jnp.where(gate, new_Ts, dst_Ts))
+
+    def _nr_condition(self, posevec, iter_val):
+        """Zero the non-rigid condition code before its kick-in iteration
+        (ref: network.py:652-656)."""
+        gate = (jnp.asarray(iter_val, jnp.float32)
+                >= self.nr_kick_in_iter).astype(posevec.dtype)
+        return posevec * gate
+
+    def _canonical_raw(self, cnl_pts, state_idx):
+        """PE + state embedding -> canonical MLP raw rgb+sigma
+        (ref: network.py:174-251)."""
+        xyz_embedded = embedders.fourier_embed(cnl_pts, self.cnl_multires)
+        embed = self.state_embeds[state_idx]
+        embed = jnp.broadcast_to(
+            embed, xyz_embedded.shape[:-1] + (embed.shape[-1],))
+        return self.cnl_mlp(
+            jnp.concatenate([xyz_embedded, embed], axis=-1))
+
+    # ------------------------------------------------------------------
+    def __call__(self, batch: Dict[str, Any], iter_val, state_idx,
+                 rng: Optional[jax.Array] = None, perturb: float = 1.0,
+                 is_train: bool = False):
+        """batch keys (shapes; all device arrays):
+          rays_o, rays_d [R,3]; near, far [R,1];
+          dst_Rs [B,3,3], dst_Ts [B,3], dst_posevec [75(+6)], cnl_gtfms
+          [B,4,4], motion_weights_priors [B+1,G,G,G], cnl_bbox_min_xyz [3],
+          cnl_bbox_scale_xyz [3], bgcolor [3];
+          when is_train: dst_Rs_prev / dst_Ts_prev / dst_posevec_prev.
+        Returns composited outputs + raw per-sample outputs for stage 3.
+        """
+        R = batch["rays_o"].shape[0]
+        S = self.n_samples
+        B = self.total_bones
+
+        dst_Rs, dst_Ts = self._refine_pose(
+            batch["dst_Rs"], batch["dst_Ts"],
+            batch["dst_posevec"][:self.pose_embedding_size], iter_val)
+
+        m_sR, m_T, m_sR_fwd, m_T_fwd = body_math.motion_bases(
+            dst_Rs, dst_Ts, batch["cnl_gtfms"])
+
+        motion_weights_vol = self.mweight_vol_decoder(
+            batch["motion_weights_priors"])
+
+        cond = self._nr_condition(
+            batch["dst_posevec"][None, :self.nr_condition_code_size],
+            iter_val)
+        alpha = embedders.hann_alpha(
+            iter_val, self.nr_kick_in_iter, self.nr_full_band_iter,
+            self.nr_multires)
+
+        # ---- z sampling (ref: network.py:407-423,446-448) ----
+        t_vals = jnp.linspace(0.0, 1.0, S, dtype=batch["rays_o"].dtype)
+        z_vals = (batch["near"] * (1.0 - t_vals)[None, :]
+                  + batch["far"] * t_vals[None, :])  # [R, S]
+        if is_train and perturb > 0.0 and rng is not None:
+            mids = 0.5 * (z_vals[..., 1:] + z_vals[..., :-1])
+            upper = jnp.concatenate([mids, z_vals[..., -1:]], -1)
+            lower = jnp.concatenate([z_vals[..., :1], mids], -1)
+            rng, sub = jax.random.split(rng)
+            z_vals = lower + (upper - lower) * jax.random.uniform(
+                sub, z_vals.shape, dtype=z_vals.dtype)
+
+        pts = (batch["rays_o"][:, None, :]
+               + batch["rays_d"][:, None, :] * z_vals[..., None])  # [R,S,3]
+        pts_flat = pts.reshape(-1, 3)
+
+        # ---- inverse LBS to canonical space ----
+        from hosnerf_tpu.ops import lbs as lbs_ops
+        x_skel, fg_mask, _ = lbs_ops.inverse_lbs(
+            pts_flat, m_sR, m_T, motion_weights_vol,
+            batch["cnl_bbox_min_xyz"], batch["cnl_bbox_scale_xyz"])
+        pts_mask = fg_mask.reshape(R, S, 1)
+
+        # ---- non-rigid offset + canonical MLP ----
+        if not self.ignore_non_rigid_motions:
+            nr_embed = embedders.hannw_fourier_embed(
+                x_skel, self.nr_multires, alpha)
+            nr_out = self.non_rigid_mlp(
+                nr_embed, x_skel,
+                jnp.broadcast_to(cond, (x_skel.shape[0], cond.shape[-1])))
+            cnl_pts = nr_out["xyz"]
+        else:
+            cnl_pts = x_skel
+
+        raw = self._canonical_raw(cnl_pts, state_idx).reshape(R, S, 4)
+
+        outputs: Dict[str, Any] = {}
+
+        # ---- cycle-consistency branch (ref: network.py:503-535), computed
+        # for ALL samples with a mask instead of boolean gathering ----
+        if is_train:
+            deform_pts, _ = lbs_ops.forward_lbs(
+                cnl_pts, m_sR_fwd, m_T_fwd, motion_weights_vol,
+                batch["cnl_bbox_min_xyz"], batch["cnl_bbox_scale_xyz"])
+            if not self.ignore_non_rigid_motions:
+                fw_embed = embedders.hannw_fourier_embed(
+                    deform_pts, self.nr_multires, alpha)
+                deform_pts = self.non_rigid_forward_mlp(
+                    fw_embed, deform_pts,
+                    jnp.broadcast_to(cond,
+                                     (deform_pts.shape[0], cond.shape[-1])),
+                )["xyz"]
+            outputs["observe_pts"] = pts_flat
+            outputs["deform_pts_final"] = deform_pts
+            outputs["cycle_mask"] = (
+                fg_mask[:, 0] > 0.005).astype(raw.dtype)
+
+            # ---- scene-flow branch to the previous frame
+            # (ref: network.py:472-501,607-644) ----
+            dst_Rs_prev, dst_Ts_prev = self._refine_pose(
+                batch["dst_Rs_prev"], batch["dst_Ts_prev"],
+                batch["dst_posevec_prev"][:self.pose_embedding_size],
+                iter_val)
+            _, _, p_sR_fwd, p_T_fwd = body_math.motion_bases(
+                dst_Rs_prev, dst_Ts_prev, batch["cnl_gtfms"])
+            cond_prev = self._nr_condition(
+                batch["dst_posevec_prev"][None,
+                                          :self.nr_condition_code_size],
+                iter_val)
+            deform_prev, _ = lbs_ops.forward_lbs(
+                cnl_pts, p_sR_fwd, p_T_fwd, motion_weights_vol,
+                batch["cnl_bbox_min_xyz"], batch["cnl_bbox_scale_xyz"])
+            if not self.ignore_non_rigid_motions:
+                fwp_embed = embedders.hannw_fourier_embed(
+                    deform_prev, self.nr_multires, alpha)
+                deform_prev = self.non_rigid_forward_mlp(
+                    fwp_embed, deform_prev,
+                    jnp.broadcast_to(
+                        cond_prev,
+                        (deform_prev.shape[0], cond_prev.shape[-1])),
+                )["xyz"]
+            outputs["deform_pts_prev_final"] = deform_prev.reshape(R, S, 3)
+
+        # ---- compositing (ref: network.py:273-299,537-538) ----
+        rgb_map, acc_map, weights, depth_map = render.raw2outputs(
+            raw, pts_mask, z_vals, batch["rays_d"], batch["bgcolor"])
+
+        outputs.update({
+            "rgb": rgb_map,
+            "alpha": acc_map,
+            "depth": depth_map,
+            "weights": weights,
+            # raw per-sample outputs for stage-3 composition
+            # (ref: 3rd.../core/nets/human_nerf/network.py:539-558)
+            "human_rgb": jax.nn.sigmoid(raw[..., :3]),
+            "human_density": jax.nn.relu(raw[..., 3]),
+            "newsmpl_pts": pts,
+            "pts_mask": pts_mask[..., 0],
+            "z_vals": z_vals,
+        })
+        return outputs

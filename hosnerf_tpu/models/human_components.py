@@ -1,0 +1,223 @@
+"""Component networks of the human-object model (stage 2).
+
+Each mirrors a reference component 1:1 in parameterization (so torch
+checkpoints can be imported) while evaluating as dense batched matmuls:
+
+* CanonicalMLP    (ref: 2nd.../core/nets/human_nerf/canonical_mlps/
+                   mlp_rgb_sigma.py:16-58)
+* NonRigidMLP     (ref: .../non_rigid_motion_mlps/mlp_offset.py:16-71 and
+                   mlp_forward_offset.py — identical shapes)
+* BodyPoseRefiner (ref: .../pose_decoders/mlp_delta_body_pose.py:14-73)
+* MotionWeightVolumeDecoder + ConvDecoder3D
+                  (ref: .../mweight_vol_decoders/deconv_vol_decoder.py:17-41,
+                   core/utils/network_util.py:21-59)
+
+The transposed 3D convolutions are expressed as `lax.conv_general_dilated`
+with lhs_dilation (fractionally-strided conv) — the XLA-native form of
+ConvTranspose3d(k=4, s=2, p=1) — with kernels stored DHWIO.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from hosnerf_tpu.models.layers import (TorchLinear, small_uniform,
+                                       xavier_uniform_gain)
+
+RELU_GAIN = math.sqrt(2.0)
+LEAKY02_GAIN = math.sqrt(2.0 / (1.0 + 0.2**2))
+
+
+class CanonicalMLP(nn.Module):
+    """Canonical rgb+sigma MLP: depth x width, skip-concat of the input at
+    layers in `skips` (input concatenated BEFORE the layer, order
+    [pos_embed, h] — ref: mlp_rgb_sigma.py:50-55)."""
+
+    mlp_depth: int = 8
+    mlp_width: int = 256
+    skips: Sequence[int] = (4,)
+
+    @nn.compact
+    def __call__(self, pos_embed):
+        h = pos_embed
+        for i in range(self.mlp_depth):
+            if i in self.skips and i > 0:
+                h = jnp.concatenate([pos_embed, h], axis=-1)
+            h = TorchLinear(self.mlp_width,
+                            kernel_init=xavier_uniform_gain(RELU_GAIN),
+                            bias_init_fan_in=False,
+                            name=f"linear_{i}")(h)
+            h = jax.nn.relu(h)
+        return TorchLinear(4, kernel_init=xavier_uniform_gain(1.0),
+                           bias_init_fan_in=False, name="output")(h)
+
+
+class NonRigidMLP(nn.Module):
+    """Non-rigid offset MLP: input [condition_code, pos_embed]; skip layers
+    re-concat pos_embed (order [h, pos_embed] — ref: mlp_offset.py:55-66);
+    last layer init U(+-1e-5) so offsets start near zero."""
+
+    mlp_depth: int = 6
+    mlp_width: int = 128
+    skips: Sequence[int] = (4,)
+
+    @nn.compact
+    def __call__(self, pos_embed, pos_xyz, condition_code):
+        h = jnp.concatenate([condition_code, pos_embed], axis=-1)
+        for i in range(self.mlp_depth):
+            if i in self.skips and i > 0:
+                h = jnp.concatenate([h, pos_embed], axis=-1)
+            h = TorchLinear(self.mlp_width,
+                            kernel_init=xavier_uniform_gain(RELU_GAIN),
+                            bias_init_fan_in=False,
+                            name=f"linear_{i}")(h)
+            h = jax.nn.relu(h)
+        trans = TorchLinear(3, kernel_init=small_uniform(1e-5),
+                            bias_init_fan_in=False, name="output")(h)
+        return {"xyz": pos_xyz + trans, "offsets": trans}
+
+
+class BodyPoseRefiner(nn.Module):
+    """posevec -> shared trunk -> (delta R via Rodrigues, delta T) for
+    total_bones-1 refined bones (ref: mlp_delta_body_pose.py:14-73)."""
+
+    total_bones: int = 26
+    mlp_width: int = 256
+    mlp_depth: int = 4
+
+    @nn.compact
+    def __call__(self, posevec):
+        from hosnerf_tpu.core.body import rodrigues
+
+        refined = self.total_bones - 1
+        h = posevec
+        for i in range(self.mlp_depth - 1):
+            h = TorchLinear(self.mlp_width,
+                            kernel_init=xavier_uniform_gain(RELU_GAIN),
+                            bias_init_fan_in=False,
+                            name=f"trunk_{i}")(h)
+            h = jax.nn.relu(h)
+
+        hr = jax.nn.relu(TorchLinear(
+            self.mlp_width, kernel_init=xavier_uniform_gain(RELU_GAIN),
+            bias_init_fan_in=False, name="head_r_0")(h))
+        rvec = TorchLinear(3 * refined, kernel_init=small_uniform(1e-5),
+                           bias_init_fan_in=False, name="head_r_out")(hr)
+
+        ht = jax.nn.relu(TorchLinear(
+            self.mlp_width, kernel_init=xavier_uniform_gain(RELU_GAIN),
+            bias_init_fan_in=False, name="head_t_0")(h))
+        tvec = TorchLinear(3 * refined, kernel_init=small_uniform(1e-5),
+                           bias_init_fan_in=False, name="head_t_out")(ht)
+
+        Rs = rodrigues(rvec.reshape(rvec.shape[:-1] + (refined, 3)))
+        Ts = tvec.reshape(tvec.shape[:-1] + (refined, 3))
+        return {"Rs": Rs, "Ts": Ts}
+
+
+def _blockwise_transposed_conv_init(gain: float, ksize_eff: int):
+    """xavier-uniform for a DHWIO transposed-conv kernel, with the
+    reference's blockwise tie: values constant over each 2x2x2 kernel cell
+    (ref: network_util.py:262-283), making the initial op ~nearest-neighbor
+    upsampling."""
+
+    def init(key, shape, dtype=jnp.float32):
+        kd, kh, kw, cin, cout = shape
+        std = gain * math.sqrt(2.0 / ((cin + cout) * ksize_eff))
+        bound = std * math.sqrt(3.0)
+        base = jax.random.uniform(
+            key, ((kd + 1) // 2, (kh + 1) // 2, (kw + 1) // 2, cin, cout),
+            dtype, -bound, bound)
+        return jnp.repeat(jnp.repeat(jnp.repeat(base, 2, 0), 2, 1),
+                          2, 2)[:kd, :kh, :kw]
+
+    return init
+
+
+class ConvTranspose3dTorch(nn.Module):
+    """ConvTranspose3d(k=4, s=2, p=1) with torch semantics on NDHWC inputs:
+    output spatial size = 2x input. Implemented as an lhs-dilated conv."""
+
+    features: int
+    gain: float = LEAKY02_GAIN
+
+    @nn.compact
+    def __call__(self, x):
+        cin = x.shape[-1]
+        k = 4
+        ksize_eff = k * k * k // 8  # ref xaviermultiplier for stride-2 CT3d
+        kernel = self.param(
+            "kernel", _blockwise_transposed_conv_init(self.gain, ksize_eff),
+            (k, k, k, cin, self.features))
+        bias = self.param("bias", nn.initializers.zeros_init(),
+                          (self.features,))
+        y = jax.lax.conv_general_dilated(
+            x, kernel,
+            window_strides=(1, 1, 1),
+            padding=[(2, 2)] * 3,
+            lhs_dilation=(2, 2, 2),
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        )
+        return y + bias
+
+
+class ConvDecoder3D(nn.Module):
+    """Embedding -> Linear(1024) -> 5 stacked stride-2 transposed convs ->
+    [B, vol, vol, vol, voxel_channels] (channels-last).
+    ref: network_util.py:21-59."""
+
+    volume_size: int = 32
+    voxel_channels: int = 27
+
+    @nn.compact
+    def __call__(self, embedding):
+        h = TorchLinear(1024, kernel_init=xavier_uniform_gain(LEAKY02_GAIN),
+                        bias_init_fan_in=False, name="block_mlp")(embedding)
+        h = jax.nn.leaky_relu(h, 0.2)
+        h = h.reshape(h.shape[:-1] + (1, 1, 1, 1024))
+
+        inch, outch = 1024, 512
+        plan = []
+        for _ in range(int(np.log2(self.volume_size)) - 1):
+            plan.append(outch)
+            if inch == outch:
+                outch = inch // 2
+            else:
+                inch = outch
+        for i, feats in enumerate(plan):
+            h = ConvTranspose3dTorch(feats, name=f"deconv_{i}")(h)
+            h = jax.nn.leaky_relu(h, 0.2)
+        h = ConvTranspose3dTorch(self.voxel_channels, gain=1.0,
+                                 name="deconv_out")(h)
+        return h
+
+
+class MotionWeightVolumeDecoder(nn.Module):
+    """Learnable 256-d constant -> ConvDecoder3D -> softmax(decoded +
+    log(priors)) motion weight volume [total_bones+1, G, G, G].
+    ref: deconv_vol_decoder.py:17-41."""
+
+    embedding_size: int = 256
+    volume_size: int = 32
+    total_bones: int = 26
+
+    @nn.compact
+    def __call__(self, motion_weights_priors):
+        """motion_weights_priors: [total_bones+1, G, G, G] (channels first,
+        matching the data pipeline). Returns the same layout."""
+        embedding = self.param("const_embedding",
+                               nn.initializers.normal(stddev=1.0),
+                               (self.embedding_size,))
+        decoded = ConvDecoder3D(
+            volume_size=self.volume_size,
+            voxel_channels=self.total_bones + 1,
+            name="decoder")(embedding[None])[0]  # [D, H, W, C]
+        decoded = jnp.moveaxis(decoded, -1, 0)  # -> [C, D, H, W]
+        return jax.nn.softmax(decoded + jnp.log(motion_weights_priors),
+                              axis=0)
