@@ -94,6 +94,24 @@ def human_batch(n_patches: int = 2, patch_size: int = 8, seed: int = 0,
     }
 
 
+def composed_batch(n_patches: int = 2, patch_size: int = 8, seed: int = 0,
+                   time: float = 0.5, grid_size: int = 16) -> Dict[str, np.ndarray]:
+    """A fabricated stage-3 training item: the human item plus background
+    rays for the same pixels in scaled-world coordinates
+    (ref: 3rd_Complete_HOSNeRF/core/data/human_nerf/train.py:511-548)."""
+    b = human_batch(n_patches, patch_size, seed=seed, time=time,
+                    grid_size=grid_size)
+    R = b["rays_o"].shape[0]
+    # identity smpl->scale-world keeps the two coordinate systems aligned,
+    # so background rays reuse the human rays
+    b["newsmpl_to_scale_world"] = np.eye(4, dtype=np.float32)
+    b["rays_o_bkg"] = b["rays_o"].copy()
+    b["rays_d_bkg"] = b["rays_d"].copy()
+    b["viewdirs_bkg"] = b["rays_d"].copy()
+    b["radii"] = np.full((R, 1), 0.002, np.float32)
+    return b
+
+
 def scene_ray_batch(n_rays: int, seed: int = 0,
                     time: float = 0.0) -> Dict[str, np.ndarray]:
     """Random rays through a synthetic blob scene, with targets rendered

@@ -73,6 +73,11 @@ class LPIPS(nn.Module):
 
     @nn.compact
     def __call__(self, x, y):
+        if x.shape[1] < 16 or x.shape[2] < 16:
+            raise ValueError(
+                f"LPIPS needs inputs >= 16x16 (got {x.shape[1]}x{x.shape[2]});"
+                " the 5th VGG tap has zero spatial extent below that and the"
+                " mean over it is NaN. The reference trains on 32x32 patches.")
         shift = jnp.asarray(_SHIFT)
         scale = jnp.asarray(_SCALE)
         feats = VGG16Features(name="vgg")
