@@ -94,6 +94,105 @@ def human_batch(n_patches: int = 2, patch_size: int = 8, seed: int = 0,
     }
 
 
+def write_mini_dataset(path: str, n_frames: int = 8, res: int = 48,
+                       n_transitions: int = 1, seed: int = 0) -> str:
+    """Fabricate an on-disk mini-dataset with the reference's exact layout
+    (images/, masks/, images_flow/, canonical_joints.pkl, mesh_infos.pkl,
+    cameras.pkl, poses_bounds.npy, transitions_times.json) so the real
+    loaders and all three training stages can be exercised end-to-end
+    without capture data (SURVEY.md §4 test strategy)."""
+    import json
+    import os
+    import pickle
+
+    import cv2
+
+    rng = np.random.default_rng(seed)
+    os.makedirs(os.path.join(path, "images"), exist_ok=True)
+    os.makedirs(os.path.join(path, "masks"), exist_ok=True)
+    os.makedirs(os.path.join(path, "images_flow"), exist_ok=True)
+
+    # --- skeleton: 24 SMPL joints in a rough standing pose ---
+    joints = np.zeros((24, 3), np.float32)
+    joints[:, 1] = np.linspace(-0.8, 0.6, 24)
+    joints[:, 0] = rng.normal(scale=0.05, size=24)
+    joints[:, 2] = rng.normal(scale=0.05, size=24)
+
+    with open(os.path.join(path, "canonical_joints.pkl"), "wb") as f:
+        pickle.dump({"joints": joints}, f)
+
+    focal = 1.2 * res
+    K = np.array([[focal, 0, res / 2], [0, focal, res / 2], [0, 0, 1]],
+                 np.float64)
+
+    mesh_infos, cameras = {}, {}
+    poses_bounds = np.zeros((n_frames, 17), np.float64)
+    frame_names = [f"frame_{i:06d}" for i in range(n_frames)]
+    for i, fn in enumerate(frame_names):
+        # image: colored gradient + a bright "person" blob; mask = blob
+        yy, xx = np.mgrid[0:res, 0:res]
+        img = np.stack([xx / res, yy / res, np.full_like(xx, 0.5,
+                                                         dtype=float)], -1)
+        cx, cy = res // 2 + i, res // 2
+        blob = ((xx - cx) ** 2 + (yy - cy) ** 2) < (res // 5) ** 2
+        img[blob] = [0.9, 0.3, 0.2]
+        cv2.imwrite(os.path.join(path, "images", fn + ".png"),
+                    cv2.cvtColor((img * 255).astype(np.uint8),
+                                 cv2.COLOR_RGB2BGR))
+        cv2.imwrite(os.path.join(path, "masks", fn + ".png"),
+                    (blob * 255).astype(np.uint8))
+        np.savez(os.path.join(path, "images_flow", fn + "_bwd.npz"),
+                 flow=rng.normal(scale=0.5, size=(res, res, 2)).astype(
+                     np.float32),
+                 mask=np.ones((res, res), bool))
+
+        # camera orbiting the subject
+        th = 2 * np.pi * i / n_frames * 0.2
+        campos = np.array([2.5 * np.sin(th), 0.0, -2.5 * np.cos(th)])
+        from hosnerf_tpu.data.cameras import get_camrot
+        Rm = get_camrot(campos.astype(np.float32),
+                        np.zeros(3, np.float32)).astype(np.float64)
+        E = np.eye(4)
+        E[:3, :3] = Rm
+        E[:3, 3] = -Rm @ campos
+        cameras[fn] = {
+            "intrinsics": K.astype(np.float32),
+            "smpl_to_camera": E.astype(np.float32),
+            "smpl_to_world": np.eye(4, dtype=np.float32),
+        }
+        mesh_infos[fn] = {
+            "poses": rng.normal(scale=0.05, size=72).astype(np.float32),
+            "tpose_joints": joints,
+            "joints": joints + rng.normal(scale=0.01, size=joints.shape
+                                          ).astype(np.float32),
+            "Rh": rng.normal(scale=0.02, size=3).astype(np.float32),
+            "Th": rng.normal(scale=0.02, size=3).astype(np.float32),
+        }
+        # poses_bounds row: 3x5 [R|t|hwf] + near/far in LLFF layout. The
+        # loader maps stored cols [s0 s1 s2] -> opencv cols [s1, s0, -s2]
+        # (two column shuffles, nerf_360_v2.py:385-388), so store the
+        # inverse mapping: [cv1, cv0, -cv2].
+        c2w = np.linalg.inv(E)
+        stored = np.stack(
+            [c2w[:3, 1], c2w[:3, 0], -c2w[:3, 2], c2w[:3, 3]], axis=1)
+        hwf = np.array([[res], [res], [focal]])
+        poses_bounds[i, :15] = np.concatenate([stored, hwf], 1).reshape(-1)
+        poses_bounds[i, 15:] = [0.5, 10.0]
+
+    np.save(os.path.join(path, "poses_bounds.npy"), poses_bounds)
+    with open(os.path.join(path, "mesh_infos.pkl"), "wb") as f:
+        pickle.dump(mesh_infos, f)
+    with open(os.path.join(path, "cameras.pkl"), "wb") as f:
+        pickle.dump(cameras, f)
+    if n_transitions > 0:
+        tt = {frame_names[(k + 1) * n_frames // (n_transitions + 1)]:
+              {"time": float((k + 1) / (n_transitions + 1))}
+              for k in range(n_transitions)}
+        with open(os.path.join(path, "transitions_times.json"), "w") as f:
+            json.dump(tt, f)
+    return path
+
+
 def composed_batch(n_patches: int = 2, patch_size: int = 8, seed: int = 0,
                    time: float = 0.5, grid_size: int = 16) -> Dict[str, np.ndarray]:
     """A fabricated stage-3 training item: the human item plus background
