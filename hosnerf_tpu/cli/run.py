@@ -1,0 +1,322 @@
+"""Unified CLI preserving the reference's per-stage command surface.
+
+The reference ships three separate run.py entry points
+(ref: {1st,2nd,3rd}/run.py); here one command with a --stage axis:
+
+  python -m hosnerf_tpu.cli.run --stage scene  --ginc <gin> \
+      --scene_name Backpack --logbase logs [--ginb k=v ...] [--seed N]
+  python -m hosnerf_tpu.cli.run --stage human  --cfg <scene.yaml> ...
+  python -m hosnerf_tpu.cli.run --stage hosnerf --ginc <gin> --cfg <yaml> \
+      --bkgd_path <stage1 ckpt> --human_path <stage2 ckpt> ...
+
+Flags --ginc/--ginb/--scene_name/--logbase/--seed/--resume_training/
+--ckpt_path/--cfg match the reference argparse surface
+(1st run.py:197-236, 2nd run.py:246-279). --run_mode {train,eval,render}
+maps to trainer.fit / test / predict.
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import os
+from typing import Dict
+
+import numpy as np
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser("hosnerf_tpu")
+    p.add_argument("--stage", choices=["scene", "human", "hosnerf"],
+                   required=True)
+    p.add_argument("--ginc", action="append", default=[],
+                   help="gin config file(s)")
+    p.add_argument("--ginb", action="append", default=[],
+                   help="gin binding override(s)")
+    p.add_argument("--cfg", type=str, default=None,
+                   help="per-scene yaml (stages human/hosnerf)")
+    p.add_argument("--default_cfg", type=str, default=None,
+                   help="default.yaml path (defaults to built-in values)")
+    p.add_argument("--scene_name", type=str, default=None)
+    p.add_argument("--logbase", type=str, default="logs")
+    p.add_argument("--seed", type=int, default=220901)
+    p.add_argument("--resume_training", type=lambda s: s.lower() == "true",
+                   default=False)
+    p.add_argument("--ckpt_path", type=str, default=None)
+    p.add_argument("--bkgd_path", type=str, default=None)
+    p.add_argument("--human_path", type=str, default=None)
+    p.add_argument("--run_mode", choices=["train", "eval", "render"],
+                   default="train")
+    p.add_argument("--max_steps", type=int, default=None,
+                   help="override gin/yaml step count")
+    return p
+
+
+def _logdir(args) -> str:
+    name = args.scene_name or "scene"
+    d = os.path.join(args.logbase, f"{args.stage}_{name}")
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
+def run_scene(args) -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from hosnerf_tpu.config import ginlite
+    from hosnerf_tpu.data import scene_loader, scene_pipeline
+    from hosnerf_tpu.parallel import mesh as pmesh
+    from hosnerf_tpu.train import loop, stage1
+
+    gin = ginlite.parse_config_files_and_bindings(args.ginc, args.ginb)
+    run_cfg = ginlite.scoped(gin, "run")
+    logdir = _logdir(args)
+    with open(os.path.join(logdir, "config.gin"), "w") as f:
+        f.write(ginlite.dumps(gin))
+
+    datadir = run_cfg.get("datadir", ".")
+    scene = scene_loader.load_nerf_360_v2(
+        datadir, args.scene_name,
+        factor=int(gin.get("LitDataNeRF360V2.factor", 0) or 0),
+        near=gin.get("LitDataNeRF360V2.near", 0.1),
+        far=gin.get("LitDataNeRF360V2.far", 1e6))
+    batch_size = int(gin.get("LitData.batch_size", 4096))
+    pipe = scene_pipeline.ScenePipeline(scene, batch_size, seed=args.seed)
+
+    # transition times for state embeddings
+    tt = os.path.join(datadir, args.scene_name, "transitions_times.json")
+    transitions = None
+    if os.path.exists(tt):
+        import json
+        with open(tt) as f:
+            transitions = np.array(
+                [v["time"] for v in json.load(f).values()], np.float32)
+
+    max_steps = args.max_steps or int(run_cfg.get("max_steps", 500_000))
+    cfg = stage1.Stage1Config(
+        max_steps=max_steps, near=scene.near, far=scene.far,
+        grad_max_norm=float(run_cfg.get("grad_max_norm", 0.001)),
+        num_states=(len(transitions) + 1) if transitions is not None else 1,
+        # size overrides via the reference's gin class-param surface
+        nerf_netwidth=int(gin.get("NeRFMLP.netwidth", 1024)),
+        prop_netwidth=int(gin.get("PropMLP.netwidth", 256)),
+        num_prop_samples=int(gin.get("MipNeRF360.num_prop_samples", 64)),
+        num_nerf_samples=int(gin.get("MipNeRF360.num_nerf_samples", 32)))
+
+    mesh = pmesh.make_mesh()
+    example = pmesh.shard_batch(pipe.sample_train_batch(), mesh)
+    params, opt_state, model = stage1.init_state(
+        cfg, jax.random.key(args.seed), example, transitions)
+    opt = stage1.make_optimizer(cfg)
+    if args.resume_training or args.ckpt_path:
+        from hosnerf_tpu.train import checkpoints as ck
+        name = args.ckpt_path or "last"
+        restored = ck.restore_checkpoint(os.path.join(logdir, "ckpt"),
+                                         name, {"params": params, "step": 0})
+        params = restored["params"]
+
+    step_fn = jax.jit(stage1.make_train_step(cfg, model, opt, transitions))
+    eval_step = jax.jit(stage1.make_eval_step(cfg, model, transitions))
+
+    if args.run_mode == "train":
+        def val_fn(carry, step):
+            from hosnerf_tpu.eval import renderers
+            i = int(scene.i_split[1][0])
+            rgb = renderers.render_scene_image(eval_step, carry[0], pipe, i)
+            from hosnerf_tpu.eval import metrics as M
+            return float(M.psnr(jnp.asarray(rgb),
+                                jnp.asarray(scene.images[i])))
+
+        loop.run_training(
+            num_steps=max_steps,
+            sample_batch=lambda: pmesh.shard_batch(
+                pipe.sample_train_batch(), mesh),
+            step_fn=step_fn, init_carry=(params, opt_state),
+            logdir=logdir, rays_per_step=batch_size,
+            log_every=int(run_cfg.get("log_every_n_steps", 100)),
+            val_fn=val_fn, rng=jax.random.key(args.seed + 1))
+    else:
+        from hosnerf_tpu.eval import renderers
+        results = renderers.evaluate_scene(eval_step, params, pipe, logdir)
+        print(results)
+
+
+def run_human(args) -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from hosnerf_tpu.config import yamlcfg
+    from hosnerf_tpu.data.human_dataset import HumanDataset
+    from hosnerf_tpu.train import loop, stage2
+
+    cfg_yaml = yamlcfg.make_cfg(args.cfg, args.default_cfg)
+    logdir = _logdir(args)
+    datadir = cfg_yaml.get("basedir", ".")
+
+    ds = HumanDataset(datadir, mode="train",
+                      n_patches=int(cfg_yaml.get("patch", {}).get(
+                          "N_patches", 2)),
+                      patch_size=int(cfg_yaml.get("patch", {}).get(
+                          "size", 32)),
+                      seed=args.seed)
+    num_states = (len(ds.transitions) + 1
+                  if ds.transitions is not None else 1)
+    train_y = cfg_yaml.get("train", {})
+    max_steps = args.max_steps or int(train_y.get("maxiter", 400_000))
+    cfg = stage2.Stage2Config(
+        maxiter=max_steps,
+        lr=float(train_y.get("lr", 0.0006667)),
+        num_states=num_states,
+        n_patches=ds.n_patches, patch_size=ds.patch_size,
+        n_samples=int(cfg_yaml.get("N_samples", 128)))
+
+    def make_batch(i=None):
+        idx = (np.random.randint(len(ds)) if i is None else i)
+        item = ds[idx]
+        return {k: jnp.asarray(v) for k, v in item.items()
+                if k != "frame_name"}
+
+    example = make_batch(0)
+    params, opt_state, model, opt = stage2.init_state(
+        cfg, jax.random.key(args.seed), example)
+
+    from hosnerf_tpu.models import lpips as lpips_mod
+    lp_params = lpips_mod.load_torch_weights(
+        jax.tree.map(np.asarray, lpips_mod.init_lpips_params(
+            jax.random.key(7), (cfg.patch_size, cfg.patch_size))))
+    lp_model = lpips_mod.LPIPS()
+    lp_apply = lambda p, a, b: lp_model.apply({"params": p}, a, b)
+
+    step_fn = jax.jit(functools.partial(
+        stage2.make_train_step(cfg, model, opt, ds.transitions, lp_apply)))
+
+    def wrapped_step(params, opt_state, batch, step, rng):
+        return step_fn(params, opt_state, lp_params, batch, step, rng)
+
+    if args.run_mode == "train":
+        loop.run_training(
+            num_steps=max_steps, sample_batch=make_batch,
+            step_fn=wrapped_step, init_carry=(params, opt_state),
+            logdir=logdir,
+            rays_per_step=cfg.n_patches * cfg.patch_size**2,
+            rng=jax.random.key(args.seed + 1))
+    else:
+        from hosnerf_tpu.eval import renderers
+        from hosnerf_tpu.models.state import state_index
+        trans = (jnp.asarray(ds.transitions) if ds.transitions is not None
+                 else None)
+
+        @jax.jit
+        def render_fn(p, b):
+            s_idx = state_index(b["time"], trans) if "time" in b else 0
+            return model.apply({"params": p}, b, 10**7, s_idx,
+                               is_train=False)["rgb"]
+
+        test_ds = HumanDataset(datadir, mode="test",
+                               bgcolor=[255.0, 255.0, 255.0])
+        out = renderers.evaluate_human(render_fn, params, test_ds, logdir,
+                                       "testimgs")
+        print(out)
+
+
+def run_hosnerf(args) -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from hosnerf_tpu.config import ginlite, yamlcfg
+    from hosnerf_tpu.data.human_dataset import HumanDataset
+    from hosnerf_tpu.train import checkpoints as ck
+    from hosnerf_tpu.train import loop, stage3
+
+    gin = ginlite.parse_config_files_and_bindings(args.ginc, args.ginb)
+    cfg_yaml = yamlcfg.make_cfg(args.cfg, args.default_cfg)
+    logdir = _logdir(args)
+    datadir = cfg_yaml.get("basedir", ginlite.scoped(gin, "run").get(
+        "datadir", "."))
+
+    patch_y = cfg_yaml.get("patch", {})
+    ds = HumanDataset(datadir, mode="train", use_scaleworld=True,
+                      n_patches=int(patch_y.get("N_patches", 2)),
+                      patch_size=int(patch_y.get("size", 32)),
+                      seed=args.seed)
+    num_states = (len(ds.transitions) + 1
+                  if ds.transitions is not None else 1)
+    train_y = cfg_yaml.get("train", {})
+    max_steps = args.max_steps or int(train_y.get("maxiter", 200_000))
+    cfg = stage3.Stage3Config(
+        maxiter=max_steps, num_states=num_states,
+        n_patches=ds.n_patches, patch_size=ds.patch_size,
+        n_samples=int(cfg_yaml.get("N_samples", 128)),
+        near_bkg=float(gin.get("LitDataHumanObject.near_bkg", 0.1)),
+        far_bkg=float(gin.get("LitDataHumanObject.far_bkg", 1e6)),
+        nerf_netwidth=int(gin.get("NeRFMLP.netwidth", 1024)),
+        prop_netwidth=int(gin.get("PropMLP.netwidth", 256)),
+        num_prop_samples=int(gin.get("MipNeRF360.num_prop_samples", 64)),
+        num_nerf_samples=int(gin.get("MipNeRF360.num_nerf_samples", 32)))
+
+    def make_batch(i=None):
+        idx = (np.random.randint(len(ds)) if i is None else i)
+        item = ds[idx]
+        return {k: jnp.asarray(v) for k, v in item.items()
+                if k != "frame_name"}
+
+    example = make_batch(0)
+    params, opt_state, scene_model, human_model, opt = stage3.init_state(
+        cfg, jax.random.key(args.seed), example)
+
+    # two-checkpoint warm start (ref: 3rd run.py:205-212)
+    if args.human_path:
+        imported = ck.import_human_params(args.human_path)
+        params["human"] = ck.overlay_params(params["human"], imported)
+    if args.bkgd_path:
+        imported = ck.import_scene_params(args.bkgd_path)
+        params["scene"] = ck.overlay_params(params["scene"], imported)
+
+    step_fn = jax.jit(stage3.make_train_step(
+        cfg, scene_model, human_model, opt, ds.transitions))
+
+    def wrapped_step(params, opt_state, batch, step, rng):
+        return step_fn(params, opt_state, None, batch, step, rng)
+
+    if args.run_mode == "train":
+        loop.run_training(
+            num_steps=max_steps, sample_batch=make_batch,
+            step_fn=wrapped_step, init_carry=(params, opt_state),
+            logdir=logdir,
+            rays_per_step=cfg.n_patches * cfg.patch_size**2,
+            rng=jax.random.key(args.seed + 1))
+    else:
+        from hosnerf_tpu.eval import renderers
+        from hosnerf_tpu.models.state import state_index
+        trans = (jnp.asarray(ds.transitions) if ds.transitions is not None
+                 else None)
+
+        @jax.jit
+        def render_fn(p, b):
+            s_idx = (state_index(b["time"], trans) if "time" in b
+                     else jnp.int32(0))
+            comp, _ = stage3.composed_forward(
+                cfg, scene_model, human_model, p, b, 10**7, s_idx)
+            return comp["rgb"]
+
+        test_ds = HumanDataset(datadir, mode="test", use_scaleworld=True,
+                               bgcolor=[255.0, 255.0, 255.0])
+        out = renderers.evaluate_human(
+            render_fn, params, test_ds, logdir, "testimgs",
+            extra_keys=("newsmpl_to_scale_world",))
+        print(out)
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    np.random.seed(args.seed)
+    if args.stage == "scene":
+        run_scene(args)
+    elif args.stage == "human":
+        run_human(args)
+    else:
+        run_hosnerf(args)
+
+
+if __name__ == "__main__":
+    main()

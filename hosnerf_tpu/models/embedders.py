@@ -38,7 +38,14 @@ def fourier_embed_dim(multires: int, include_input: bool = True,
 def hann_alpha(iter_val, kick_in_iter: float, full_band_iter: float,
                multires: int):
     """Annealing progress alpha = m * max(iter-kick,0) / (full-kick).
-    ref: hannw_fourier.py:34-40."""
+    ref: hannw_fourier.py:34-40.
+
+    Degenerate configs with full_band_iter <= kick_in_iter (stage-3's
+    default.yaml sets both to 0, which makes the reference formula 0/0=NaN
+    at step 0) mean 'full band immediately': return alpha = multires.
+    """
+    if full_band_iter <= kick_in_iter:
+        return jnp.float32(multires)
     t = jnp.maximum(jnp.asarray(iter_val, jnp.float32) - kick_in_iter, 0.0)
     n = full_band_iter - kick_in_iter
     return multires * t / n

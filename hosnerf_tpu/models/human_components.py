@@ -35,9 +35,11 @@ LEAKY02_GAIN = math.sqrt(2.0 / (1.0 + 0.2**2))
 
 
 class CanonicalMLP(nn.Module):
-    """Canonical rgb+sigma MLP: depth x width, skip-concat of the input at
-    layers in `skips` (input concatenated BEFORE the layer, order
-    [pos_embed, h] — ref: mlp_rgb_sigma.py:50-55)."""
+    """Canonical rgb+sigma MLP: depth x width, skip-concat of the input
+    (order [pos_embed, h]) BEFORE overall linear index `skip + 1` — the
+    reference counts its skip index over layers 2..depth, so skips=[4]
+    places the concat before the 6th linear (ref: mlp_rgb_sigma.py:31-38:
+    the loop `for i in range(mlp_depth-1)` adds layers AFTER the first)."""
 
     mlp_depth: int = 8
     mlp_width: int = 256
@@ -47,7 +49,7 @@ class CanonicalMLP(nn.Module):
     def __call__(self, pos_embed):
         h = pos_embed
         for i in range(self.mlp_depth):
-            if i in self.skips and i > 0:
+            if i > 0 and (i - 1) in self.skips:
                 h = jnp.concatenate([pos_embed, h], axis=-1)
             h = TorchLinear(self.mlp_width,
                             kernel_init=xavier_uniform_gain(RELU_GAIN),

@@ -1,0 +1,218 @@
+"""Tests for the config surfaces, eval metrics/io, and checkpoint import."""
+
+import os
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hosnerf_tpu.config import ginlite, yamlcfg
+from hosnerf_tpu.eval import io as eio
+from hosnerf_tpu.eval import metrics as M
+
+REF1 = "/root/reference/1st_State-Conditional_Scene"
+REF3 = "/root/reference/3rd_Complete_HOSNeRF"
+
+
+# ---------------------------------------------------------------------------
+# config
+# ---------------------------------------------------------------------------
+
+@pytest.mark.skipif(not os.path.isdir(REF1), reason="reference unavailable")
+def test_ginlite_parses_reference_gin():
+    cfg = ginlite.parse_config_files_and_bindings(
+        [os.path.join(REF1, "configs/state_mipnerf360/Backpack.gin")],
+        ["run.max_steps = 77"])
+    assert cfg["run.dataset_name"] == "nerf_360_v2"
+    assert cfg["run.max_steps"] == 77  # binding overrides file
+    assert cfg["LitData.batch_size"] == 4096
+    assert cfg["LitDataNeRF360V2.far"] == 1e6
+    assert cfg["MipNeRF360.opaque_background"] is True
+    assert ginlite.scoped(cfg, "run")["grad_max_norm"] == 0.001
+    # round-trips through dumps
+    again = ginlite.parse_lines(ginlite.dumps(cfg).splitlines())
+    assert again == cfg
+
+
+@pytest.mark.skipif(not os.path.isdir(REF3), reason="reference unavailable")
+def test_yamlcfg_parses_reference_default_yaml():
+    cfg = yamlcfg.make_cfg(
+        default_cfg_path=os.path.join(REF3, "configs/default.yaml"))
+    assert cfg.total_bones == 26
+    assert cfg.train.lr_bkgd == pytest.approx(0.00006667)
+    # stage 3 fine-tunes with the non-rigid mlp fully on from step 0
+    assert cfg.non_rigid_motion_mlp.kick_in_iter == 0
+    assert cfg.non_rigid_motion_mlp.full_band_iter == 0
+    assert cfg.patch.size == 32
+    # the degenerate window config must give full-band alpha, not 0/0
+    from hosnerf_tpu.models import embedders
+    assert float(embedders.hann_alpha(0, 0, 0, 6)) == 6.0
+    # per-scene override merge
+    cfg2 = cfg.clone().merge_from({"train": {"maxiter": 5},
+                                   "patch": {"size": 16}})
+    assert cfg2.train.maxiter == 5 and cfg2.patch.size == 16
+    assert cfg2.train.lr_bkgd == cfg.train.lr_bkgd  # untouched keys survive
+
+
+# ---------------------------------------------------------------------------
+# metrics / io
+# ---------------------------------------------------------------------------
+
+def test_psnr_and_ssim_basics(rng_np):
+    img = jnp.asarray(rng_np.uniform(0, 1, (32, 32, 3)), jnp.float32)
+    assert float(M.ssim(img, img)[0]) == pytest.approx(1.0, abs=1e-4)
+    noisy = jnp.clip(img + 0.1, 0, 1)
+    assert float(M.ssim(img, noisy)[0]) < 1.0
+    # psnr of a known mse
+    a = jnp.zeros((8, 8, 3))
+    b = jnp.full((8, 8, 3), 0.1)
+    assert float(M.psnr(a, b)) == pytest.approx(20.0, abs=1e-3)
+
+
+def test_ssim_matches_skimage_uniform_window(rng_np):
+    skimage = pytest.importorskip("skimage")
+    from skimage.metrics import structural_similarity
+    a = rng_np.uniform(0, 1, (48, 48, 3)).astype(np.float32)
+    b = np.clip(a + rng_np.normal(scale=0.05, size=a.shape), 0,
+                1).astype(np.float32)
+    want = structural_similarity(a, b, channel_axis=2, data_range=1.0)
+    got = float(M.ssim(jnp.asarray(a), jnp.asarray(b), kernel_size=7,
+                       uniform_window=True)[0])
+    assert got == pytest.approx(want, abs=5e-3)
+
+
+def test_store_image_video_and_stats(tmp_path, rng_np):
+    imgs = [rng_np.uniform(0, 1, (16, 16, 3)) for _ in range(3)]
+    paths = eio.store_image(str(tmp_path / "imgs"), imgs)
+    assert all(os.path.exists(p) for p in paths)
+    vid = eio.store_video(str(tmp_path / "vid"), imgs, fps=5)
+    assert os.path.exists(vid) and os.path.getsize(vid) > 0
+    tiled = eio.tile_images([eio.to_8b_image(i) for i in imgs],
+                            imgs_per_row=2)
+    assert tiled.shape == (32, 32, 3)
+    eio.write_stats(str(tmp_path / "results.json"), {"psnr": 30.0})
+    assert os.path.exists(tmp_path / "results.json")
+
+
+# ---------------------------------------------------------------------------
+# checkpoint import: numerical equivalence against the reference's own
+# torch components (loaded from the read-only reference tree)
+# ---------------------------------------------------------------------------
+
+def _load_ref_module(rel_path, name):
+    """Load a reference component file directly (core.nets.__init__ uses
+    the removed `imp` module on py3.12, so bypass the package import)."""
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        name, os.path.join(REF3, rel_path))
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[name] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+@pytest.fixture(scope="module")
+def ref_components():
+    if not os.path.isdir(REF3):
+        pytest.skip("reference unavailable")
+    pytest.importorskip("torch")
+    if REF3 not in sys.path:
+        sys.path.insert(0, REF3)
+    base = "core/nets/human_nerf/"
+    TorchCanonical = _load_ref_module(
+        base + "canonical_mlps/mlp_rgb_sigma.py", "ref_cnl").CanonicalMLP
+    TorchPose = _load_ref_module(
+        base + "pose_decoders/mlp_delta_body_pose.py",
+        "ref_pose").BodyPoseRefiner
+    TorchMWeight = _load_ref_module(
+        base + "mweight_vol_decoders/deconv_vol_decoder.py",
+        "ref_mw").MotionWeightVolumeDecoder
+    return TorchCanonical, TorchPose, TorchMWeight
+
+
+def test_import_canonical_mlp_equivalence(ref_components, rng_np):
+    import torch
+    TorchCanonical, _, _ = ref_components
+    tmod = TorchCanonical(mlp_depth=8, mlp_width=32, input_ch=127,
+                          skips=[4]).eval()
+    sd = {"human.cnl_mlp." + k: v for k, v in tmod.state_dict().items()}
+    import tempfile
+    with tempfile.NamedTemporaryFile(suffix=".ckpt") as f:
+        torch.save({"state_dict": sd}, f.name)
+        from hosnerf_tpu.train.checkpoints import import_human_params
+        params = import_human_params(f.name)
+
+    from hosnerf_tpu.models.human_components import CanonicalMLP
+    ours = CanonicalMLP(mlp_depth=8, mlp_width=32)
+    x = rng_np.normal(size=(20, 127)).astype(np.float32)
+    with torch.no_grad():
+        want = tmod(pos_embed=torch.from_numpy(x)).numpy()
+    got = np.asarray(ours.apply({"params": params["cnl_mlp"]},
+                                jnp.asarray(x)))
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_import_pose_decoder_equivalence(ref_components, rng_np):
+    import torch
+    _, TorchPose, _ = ref_components
+    tmod = TorchPose(total_bones=26, embedding_size=75, mlp_width=64,
+                     mlp_depth=4).eval()
+    sd = {"human.pose_decoder." + k: v for k, v in
+          tmod.state_dict().items()}
+    import tempfile
+    with tempfile.NamedTemporaryFile(suffix=".ckpt") as f:
+        torch.save({"state_dict": sd}, f.name)
+        from hosnerf_tpu.train.checkpoints import import_human_params
+        params = import_human_params(f.name)
+
+    from hosnerf_tpu.models.human_components import BodyPoseRefiner
+    ours = BodyPoseRefiner(total_bones=26, mlp_width=64, mlp_depth=4)
+    x = rng_np.normal(size=(1, 75)).astype(np.float32)
+    with torch.no_grad():
+        want = tmod(torch.from_numpy(x))
+    got = ours.apply({"params": params["pose_decoder"]}, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(got["Rs"])[0],
+                               want["Rs"][0].numpy(), atol=2e-3)
+    np.testing.assert_allclose(np.asarray(got["Ts"])[0],
+                               want["Ts"][0].numpy(), atol=1e-5)
+
+
+def test_import_mweight_decoder_equivalence(ref_components, rng_np):
+    import torch
+    _, _, TorchMWeight = ref_components
+    tmod = TorchMWeight(embedding_size=32, volume_size=16,
+                        total_bones=26).eval()
+    sd = {"human.mweight_vol_decoder." + k: v for k, v in
+          tmod.state_dict().items()}
+    import tempfile
+    with tempfile.NamedTemporaryFile(suffix=".ckpt") as f:
+        torch.save({"state_dict": sd}, f.name)
+        from hosnerf_tpu.train.checkpoints import import_human_params
+        params = import_human_params(f.name)
+
+    from hosnerf_tpu.models.human_components import \
+        MotionWeightVolumeDecoder
+    ours = MotionWeightVolumeDecoder(embedding_size=32, volume_size=16,
+                                     total_bones=26)
+    priors = rng_np.uniform(0.01, 1.0, (27, 16, 16, 16)).astype(np.float32)
+    with torch.no_grad():
+        want = tmod(torch.from_numpy(priors)[None]).numpy()[0]
+    got = np.asarray(ours.apply(
+        {"params": params["mweight_vol_decoder"]}, jnp.asarray(priors)))
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_orbax_best_last_roundtrip(tmp_path):
+    from hosnerf_tpu.train.checkpoints import (BestLastCheckpointer,
+                                               restore_checkpoint)
+    state = {"params": {"w": jnp.arange(4.0)}, "step": jnp.int32(7)}
+    ck = BestLastCheckpointer(str(tmp_path))
+    ck.save_last(state)
+    assert ck.maybe_save_best(state, 20.0) is not None
+    assert ck.maybe_save_best(state, 10.0) is None  # worse -> not saved
+    restored = restore_checkpoint(str(tmp_path), "last", target=state)
+    np.testing.assert_allclose(np.asarray(restored["params"]["w"]),
+                               np.arange(4.0))
+    assert int(restored["step"]) == 7
