@@ -21,13 +21,21 @@ import numpy as np
 
 def fourier_embed(x: jnp.ndarray, multires: int,
                   include_input: bool = True) -> jnp.ndarray:
-    """[..., d] -> [..., d*(include + 2*multires)] with reference layout."""
-    freqs = 2.0 ** np.linspace(0.0, multires - 1, multires)
-    feats = [x] if include_input else []
-    for f in freqs:
-        feats.append(jnp.sin(x * f))
-        feats.append(jnp.cos(x * f))
-    return jnp.concatenate(feats, axis=-1)
+    """[..., d] -> [..., d*(include + 2*multires)] with reference layout.
+
+    Built as ONE wide [N, 2*F*d] tensor (a python list of [N, 3] pieces
+    pads each piece's 3-lane axis to 128 on TPU — observed 42x memory
+    expansion in XLA dumps)."""
+    d = x.shape[-1]
+    freqs = jnp.asarray(2.0 ** np.linspace(0.0, multires - 1, multires),
+                        x.dtype)
+    scaled = (x[..., None, :] * freqs[:, None])  # [..., F, d]
+    # interleave [sin f0, cos f0, sin f1, cos f1, ...] along the freq axis
+    both = jnp.stack([jnp.sin(scaled), jnp.cos(scaled)], axis=-2)
+    four = both.reshape(x.shape[:-1] + (2 * multires * d,))
+    if include_input:
+        return jnp.concatenate([x, four], axis=-1)
+    return four
 
 
 def fourier_embed_dim(multires: int, include_input: bool = True,
@@ -55,12 +63,14 @@ def hannw_fourier_embed(x: jnp.ndarray, multires: int, alpha) -> jnp.ndarray:
     """Hann-windowed PE, no identity term. [..., d] -> [..., d*2*multires].
 
     w_j = (1 - cos(pi * clamp(alpha - j, 0, 1))) / 2  (ref: :42-44).
+    One wide tensor, same layout rationale as fourier_embed.
     """
-    freqs = 2.0 ** np.linspace(0.0, multires - 1, multires)
-    feats = []
-    for j, f in enumerate(freqs):
-        w = (1.0 - jnp.cos(
-            jnp.pi * jnp.clip(alpha - j, 0.0, 1.0))) / 2.0
-        feats.append(w * jnp.sin(x * f))
-        feats.append(w * jnp.cos(x * f))
-    return jnp.concatenate(feats, axis=-1)
+    d = x.shape[-1]
+    freqs = jnp.asarray(2.0 ** np.linspace(0.0, multires - 1, multires),
+                        x.dtype)
+    j = jnp.arange(multires, dtype=x.dtype)
+    w = (1.0 - jnp.cos(jnp.pi * jnp.clip(alpha - j, 0.0, 1.0))) / 2.0
+    scaled = x[..., None, :] * freqs[:, None]  # [..., F, d]
+    both = jnp.stack([jnp.sin(scaled), jnp.cos(scaled)],
+                     axis=-2) * w[:, None, None]
+    return both.reshape(x.shape[:-1] + (2 * multires * d,))

@@ -65,6 +65,9 @@ class HumanObjectField(nn.Module):
     mweight_embedding_size: int = 256
     mweight_volume_size: int = 32
     ignore_non_rigid_motions: bool = False
+    # rematerialize the per-sample MLP activations in backward; essential
+    # for production batch sizes (1M+ samples/step)
+    remat: bool = True
 
     def setup(self):
         self.pose_decoder = BodyPoseRefiner(
@@ -74,13 +77,15 @@ class HumanObjectField(nn.Module):
             embedding_size=self.mweight_embedding_size,
             volume_size=self.mweight_volume_size,
             total_bones=self.total_bones, name="mweight_vol_decoder")
-        self.non_rigid_mlp = NonRigidMLP(
+        nr_cls = nn.remat(NonRigidMLP) if self.remat else NonRigidMLP
+        cnl_cls = nn.remat(CanonicalMLP) if self.remat else CanonicalMLP
+        self.non_rigid_mlp = nr_cls(
             mlp_depth=self.nr_mlp_depth, mlp_width=self.nr_mlp_width,
             skips=self.nr_skips, name="non_rigid_mlp")
-        self.non_rigid_forward_mlp = NonRigidMLP(
+        self.non_rigid_forward_mlp = nr_cls(
             mlp_depth=self.nr_mlp_depth, mlp_width=self.nr_mlp_width,
             skips=self.nr_skips, name="non_rigid_forward_mlp")
-        self.cnl_mlp = CanonicalMLP(
+        self.cnl_mlp = cnl_cls(
             mlp_depth=self.cnl_mlp_depth, mlp_width=self.cnl_mlp_width,
             name="cnl_mlp")
         # ref: network.py:83-85 (`human_stateembeds`)

@@ -154,15 +154,20 @@ class SceneField(nn.Module):
     prop_netwidth: int = 256
     nerf_netdepth: int = 8
     nerf_netwidth: int = 1024
+    # rematerialize MLP activations in backward (1 GB/layer at production
+    # batch sizes otherwise); `randomized` (idx 4) is a static python bool
+    remat: bool = True
 
     def setup(self):
+        mlp_cls = (nn.remat(MipMLP, static_argnums=(4,)) if self.remat
+                   else MipMLP)
         mlps = []
         for i in range(self.num_levels - 1):
-            mlps.append(MipMLP(
+            mlps.append(mlp_cls(
                 num_states=self.num_states, netdepth=self.prop_netdepth,
                 netwidth=self.prop_netwidth, disable_rgb=True,
                 name=f"prop_mlp_{i}"))
-        mlps.append(MipMLP(
+        mlps.append(mlp_cls(
             num_states=self.num_states, netdepth=self.nerf_netdepth,
             netwidth=self.nerf_netwidth, name="nerf_mlp"))
         self.mlps = mlps
@@ -245,9 +250,10 @@ class SceneField(nn.Module):
             mlp_rng = None
             if randomized and rng is not None:
                 rng, mlp_rng = jax.random.split(rng)
+            # positional so nn.remat's static_argnums picks up `randomized`
             ray_results = self.mlps[i_level](
-                gaussians, batch["viewdirs"], state_idx,
-                randomized=randomized, rng=mlp_rng)
+                gaussians, batch["viewdirs"], state_idx, randomized,
+                mlp_rng)
 
             weights = render.compute_alpha_weights(
                 ray_results["density"], tdist, batch["rays_d"],

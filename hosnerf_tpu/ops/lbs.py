@@ -2,12 +2,19 @@
 
 TPU-first reformulation of the reference's per-bone python loops
 (ref: 2nd_State_Conditional_Human-Object/core/nets/human_nerf/network.py:
-302-396): the 26 per-bone affine transforms become one batched einsum
-(MXU work), and the 26 sequential grid_sample calls become one fused
-per-channel trilinear gather.
+302-396).
+
+Layout note (v5e): materializing per-point weights as [N, 26] puts the
+bone axis on the 128-lane dimension and pads 26 -> 128 (4.9x memory blowup,
+observed in XLA memory dumps). The implementation therefore runs a STATIC
+loop over bones with [N]-shaped accumulators — every intermediate is
+(8,128)-tileable with no padding waste — and never materializes the
+[N, B] weight matrix on the backward-critical path.
 """
 
 from __future__ import annotations
+
+import functools
 
 import jax
 import jax.numpy as jnp
@@ -23,33 +30,75 @@ def normalize_coords(pos: jnp.ndarray, cnl_bbox_min_xyz: jnp.ndarray,
     return (pos - cnl_bbox_min_xyz) * cnl_bbox_scale_xyz - 1.0
 
 
+def _trilinear_taps(coords: jnp.ndarray, D: int, H: int, W: int):
+    """Shared trilinear tap setup: returns per-corner (lin_index [N],
+    weight [N]) pairs for 8 corners, zeros-padding masked."""
+    x, y, z = coords[..., 0], coords[..., 1], coords[..., 2]
+    fx = (x + 1.0) * 0.5 * (W - 1)
+    fy = (y + 1.0) * 0.5 * (H - 1)
+    fz = (z + 1.0) * 0.5 * (D - 1)
+    x0 = jnp.floor(fx)
+    y0 = jnp.floor(fy)
+    z0 = jnp.floor(fz)
+    tx, ty, tz = fx - x0, fy - y0, fz - z0
+
+    taps = []
+    for dz in (0, 1):
+        for dy in (0, 1):
+            for dx in (0, 1):
+                cx, cy, cz = x0 + dx, y0 + dy, z0 + dz
+                w = (jnp.where(dx, tx, 1.0 - tx)
+                     * jnp.where(dy, ty, 1.0 - ty)
+                     * jnp.where(dz, tz, 1.0 - tz))
+                valid = ((cx >= 0) & (cx <= W - 1) & (cy >= 0)
+                         & (cy <= H - 1) & (cz >= 0) & (cz <= D - 1))
+                ix = jnp.clip(cx, 0, W - 1).astype(jnp.int32)
+                iy = jnp.clip(cy, 0, H - 1).astype(jnp.int32)
+                iz = jnp.clip(cz, 0, D - 1).astype(jnp.int32)
+                taps.append(((iz * H + iy) * W + ix, w * valid))
+    return taps
+
+
+def _sample_channel(vol_flat_b: jnp.ndarray, taps) -> jnp.ndarray:
+    """Trilinear sample of ONE channel given precomputed taps -> [N]."""
+    out = None
+    for lin, w in taps:
+        contrib = w * vol_flat_b[lin]
+        out = contrib if out is None else out + contrib
+    return out
+
+
 def inverse_lbs(pts: jnp.ndarray, motion_scale_Rs: jnp.ndarray,
                 motion_Ts: jnp.ndarray, motion_weights_vol: jnp.ndarray,
                 cnl_bbox_min_xyz: jnp.ndarray,
                 cnl_bbox_scale_xyz: jnp.ndarray):
     """Warp observation points to canonical space.
 
-    Args:
-      pts: [N, 3] observation-space sample points.
-      motion_scale_Rs: [B, 3, 3]; motion_Ts: [B, 3] backward bases.
-      motion_weights_vol: [B+1, D, H, W] (last channel = background,
-        dropped here exactly as the reference drops it, network.py:314).
-    Returns:
-      x_skel [N, 3], fg_likelihood_mask [N, 1], backwarp_weights [N, B].
-    ref: network.py:302-353.
+    pts [N, 3]; motion_scale_Rs [B, 3, 3]; motion_Ts [B, 3];
+    motion_weights_vol [B+1, D, H, W] (bg channel dropped, network.py:314).
+    Returns x_skel [N, 3], fg_likelihood_mask [N, 1], weights [B, N].
     """
-    motion_weights = motion_weights_vol[:-1]  # [B, D, H, W]
-    # all bones at once: [B, N, 3]
-    pos = jnp.einsum("bij,nj->bni", motion_scale_Rs, pts,
-                     precision=_PREC) + motion_Ts[:, None, :]
-    coords = normalize_coords(pos, cnl_bbox_min_xyz, cnl_bbox_scale_xyz)
-    weights = grid_sample.trilinear_per_channel(motion_weights, coords)  # [B, N]
+    B = motion_weights_vol.shape[0] - 1
+    D, H, W = motion_weights_vol.shape[1:]
+    vol_flat = motion_weights_vol.reshape(B + 1, -1)
 
-    wsum = jnp.sum(weights, axis=0)  # [N]
-    x_skel = jnp.einsum("bn,bni->ni", weights, pos,
-                        precision=_PREC) / jnp.maximum(wsum, 1e-4)[:, None]
-    fg_likelihood = wsum[:, None]
-    return x_skel, fg_likelihood, weights.T
+    wsum = jnp.zeros(pts.shape[0], pts.dtype)
+    acc = jnp.zeros_like(pts)
+    weights = []
+    for b in range(B):  # static loop: [N]-shaped ops only; no [B, N, 3]
+        # giant intermediate (1.6 GB at 4M points in XLA dumps)
+        pos_b = jnp.matmul(pts, motion_scale_Rs[b].T,
+                           precision=_PREC) + motion_Ts[b]
+        coords_b = normalize_coords(pos_b, cnl_bbox_min_xyz,
+                                    cnl_bbox_scale_xyz)
+        taps = _trilinear_taps(coords_b, D, H, W)
+        w_b = _sample_channel(vol_flat[b], taps)
+        weights.append(w_b)
+        wsum = wsum + w_b
+        acc = acc + w_b[:, None] * pos_b
+
+    x_skel = acc / jnp.maximum(wsum, 1e-4)[:, None]
+    return x_skel, wsum[:, None], jnp.stack(weights, 0)
 
 
 def forward_lbs(cnl_pts: jnp.ndarray, motion_scale_Rs_fwd: jnp.ndarray,
@@ -58,17 +107,25 @@ def forward_lbs(cnl_pts: jnp.ndarray, motion_scale_Rs_fwd: jnp.ndarray,
                 cnl_bbox_scale_xyz: jnp.ndarray):
     """Warp canonical points to observation space (cycle/flow branches).
 
-    Weights are sampled ONCE at the canonical position for all channels.
+    Weights sampled ONCE at the canonical position for all channels.
     Returns x_deform [N, 3], fg_likelihood_fwd [N, 1].
     ref: network.py:355-396.
     """
-    motion_weights = motion_weights_vol[:-1]  # [B, D, H, W]
-    coords = normalize_coords(cnl_pts, cnl_bbox_min_xyz, cnl_bbox_scale_xyz)
-    weights = grid_sample.trilinear(motion_weights, coords)  # [N, B]
+    B = motion_weights_vol.shape[0] - 1
+    D, H, W = motion_weights_vol.shape[1:]
+    vol_flat = motion_weights_vol.reshape(B + 1, -1)
 
-    pos = jnp.einsum("bij,nj->bni", motion_scale_Rs_fwd, cnl_pts,
-                     precision=_PREC) + motion_Ts_fwd[:, None, :]  # [B, N, 3]
-    wsum = jnp.sum(weights, axis=-1)  # [N]
-    x_deform = jnp.einsum("nb,bni->ni", weights, pos,
-                          precision=_PREC) / jnp.maximum(wsum, 1e-4)[:, None]
+    coords = normalize_coords(cnl_pts, cnl_bbox_min_xyz, cnl_bbox_scale_xyz)
+    taps = _trilinear_taps(coords, D, H, W)
+
+    wsum = jnp.zeros(cnl_pts.shape[0], cnl_pts.dtype)
+    acc = jnp.zeros_like(cnl_pts)
+    for b in range(B):
+        w_b = _sample_channel(vol_flat[b], taps)
+        pos_b = jnp.matmul(cnl_pts, motion_scale_Rs_fwd[b].T,
+                           precision=_PREC) + motion_Ts_fwd[b]
+        wsum = wsum + w_b
+        acc = acc + w_b[:, None] * pos_b
+
+    x_deform = acc / jnp.maximum(wsum, 1e-4)[:, None]
     return x_deform, wsum[:, None]
