@@ -81,7 +81,11 @@ def run_scene(args) -> None:
         near=gin.get("LitDataNeRF360V2.near", 0.1),
         far=gin.get("LitDataNeRF360V2.far", 1e6))
     batch_size = int(gin.get("LitData.batch_size", 4096))
-    pipe = scene_pipeline.ScenePipeline(scene, batch_size, seed=args.seed)
+    pipe = scene_pipeline.ScenePipeline(
+        scene, batch_size, seed=args.seed,
+        batch_sampler=str(gin.get("LitData.batch_sampler", "single_image")),
+        precrop=bool(gin.get("LitData.precrop", False)),
+        precrop_steps=int(gin.get("LitData.precrop_steps", 0)))
 
     # transition times for state embeddings
     tt = os.path.join(datadir, args.scene_name, "transitions_times.json")

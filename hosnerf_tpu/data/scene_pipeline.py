@@ -20,16 +20,36 @@ from hosnerf_tpu.data.scene_loader import SceneData
 
 
 class ScenePipeline:
+    """batch_sampler modes mirror the reference's sampler zoo
+    (ref: src/data/sampler.py):
+      'single_image'   — batch from ONE random image (SingleImageDDPSampler)
+      'all_images'     — rays pooled across all train images
+                         (MultipleImageDDPSampler:104)
+      'dynamic_batch'  — like all_images with per-call image re-draw
+                         (MultipleImageDynamicDDPSampler:127; without the
+                         precomputed ray pool, the two collapse to the same
+                         lazy sampling here)
+    `precrop`/`precrop_steps` reproduce the center-crop warmup
+    (2nd.../src/data/sampler.py:85-107)."""
+
     def __init__(self, scene: SceneData, batch_size: int = 4096,
-                 seed: int = 0):
+                 seed: int = 0, batch_sampler: str = "single_image",
+                 precrop: bool = False, precrop_steps: int = 0):
         self.scene = scene
         self.batch_size = batch_size
+        self.batch_sampler = batch_sampler
+        self.precrop = precrop
+        self.precrop_steps = precrop_steps
+        self._step = 0
         self.rng = np.random.default_rng(seed)
         self._ray_cache: Dict[int, tuple] = {}
         # per-image flat indices of background pixels (mask < 1)
         # (ref: interface.py:145-150 background-ray filter)
         self._bkg_idx = [np.flatnonzero(m.reshape(-1) < 1.0)
                          for m in scene.masks]
+        counts = np.array([len(self._bkg_idx[i])
+                           for i in scene.i_split[0]], np.float64)
+        self._train_img_probs = counts / counts.sum()
 
     def _image_rays(self, i: int):
         if i not in self._ray_cache:
@@ -41,22 +61,46 @@ class ScenePipeline:
                 self._ray_cache.pop(next(iter(self._ray_cache)))
         return self._ray_cache[i]
 
-    def sample_train_batch(self) -> Dict[str, np.ndarray]:
-        """batch_size background rays from one random training image."""
-        i = int(self.rng.choice(self.scene.i_split[0]))
-        rays_o, rays_d, viewdirs, radii = self._image_rays(i)
+    def _pick_pixels(self, i: int, n: int) -> np.ndarray:
+        h, w = self.scene.image_sizes[i]
+        if self.precrop and self._step < self.precrop_steps:
+            # center-crop warmup: pixels from the middle half of the image
+            hp = self.rng.integers(0, h // 2, n) + h // 4
+            wp = self.rng.integers(0, w // 2, n) + w // 4
+            return hp * w + wp
         bkg = self._bkg_idx[i]
-        sel = bkg[self.rng.integers(0, len(bkg), self.batch_size)]
-        target = self.scene.images[i].reshape(-1, 3)[sel]
-        return {
-            "rays_o": rays_o[sel],
-            "rays_d": rays_d[sel],
-            "viewdirs": viewdirs[sel],
-            "radii": radii[sel],
-            "times": np.full(self.batch_size, self.scene.times[i],
-                             np.float32),
-            "target": target.astype(np.float32),
-        }
+        return bkg[self.rng.integers(0, len(bkg), n)]
+
+    def sample_train_batch(self) -> Dict[str, np.ndarray]:
+        """One device batch of background rays per the sampler mode."""
+        self._step += 1
+        i_train = self.scene.i_split[0]
+        if self.batch_sampler == "single_image":
+            images = [int(self.rng.choice(i_train))]
+            counts = [self.batch_size]
+        else:  # all_images / dynamic_batch: pool rays across images
+            k = min(8, len(i_train))
+            images = list(self.rng.choice(i_train, k, replace=False,
+                                          p=None))
+            base = self.batch_size // k
+            counts = [base] * k
+            counts[-1] += self.batch_size - base * k
+
+        parts = {k: [] for k in ("rays_o", "rays_d", "viewdirs", "radii",
+                                 "times", "target")}
+        for i, n in zip(images, counts):
+            i = int(i)
+            rays_o, rays_d, viewdirs, radii = self._image_rays(i)
+            sel = self._pick_pixels(i, n)
+            parts["rays_o"].append(rays_o[sel])
+            parts["rays_d"].append(rays_d[sel])
+            parts["viewdirs"].append(viewdirs[sel])
+            parts["radii"].append(radii[sel])
+            parts["times"].append(
+                np.full(n, self.scene.times[i], np.float32))
+            parts["target"].append(
+                self.scene.images[i].reshape(-1, 3)[sel].astype(np.float32))
+        return {k: np.concatenate(v) for k, v in parts.items()}
 
     def eval_image_batches(self, i: int,
                            chunk: int = 4096) -> Iterator[Dict[str, np.ndarray]]:

@@ -27,7 +27,7 @@ def to_homogeneous(pts: jnp.ndarray) -> jnp.ndarray:
 
 
 def compose(scene_last_level: Dict[str, Any], human_out: Dict[str, Any],
-            batch: Dict[str, Any]) -> Dict[str, Any]:
+            batch: Dict[str, Any], sortless: bool = True) -> Dict[str, Any]:
     """Compose the scene's last-level raw samples with the human model's raw
     samples.
 
@@ -59,11 +59,17 @@ def compose(scene_last_level: Dict[str, Any], human_out: Dict[str, Any],
         [human_out["human_rgb"], human_out["human_density"][..., None]],
         axis=-1)
 
-    merged = merge.merge_sorted_streams(
-        z_bkg, out_bkg, z_hum, out_hum, pts_mask)
-    rgb_fg, acc_fg, w_sorted, depth_fg = render.raw2outputs_joint(
-        merged["out"], merged["z"], rays_d, merged["mask"])
-    human_weights = merge.extract_human_weights(w_sorted, merged)
+    if sortless:
+        # sort-free factorized compositing (exact; see ops/merge.py)
+        rgb_fg, acc_fg, _, human_weights, depth_fg = \
+            merge.sortless_composite(z_bkg, out_bkg, z_hum, out_hum,
+                                     pts_mask, rays_d)
+    else:
+        merged = merge.merge_sorted_streams(
+            z_bkg, out_bkg, z_hum, out_hum, pts_mask)
+        rgb_fg, acc_fg, w_sorted, depth_fg = render.raw2outputs_joint(
+            merged["out"], merged["z"], rays_d, merged["mask"])
+        human_weights = merge.extract_human_weights(w_sorted, merged)
 
     # bkg-only composite (ref: model.py:1592-1594)
     rgb_bg, acc_bg, _, depth_bg = render.raw2outputs_joint(
