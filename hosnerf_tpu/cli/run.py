@@ -139,10 +139,14 @@ def run_scene(args) -> None:
             logdir=logdir, rays_per_step=batch_size,
             log_every=int(run_cfg.get("log_every_n_steps", 100)),
             val_fn=val_fn, rng=jax.random.key(args.seed + 1))
-    else:
+    elif args.run_mode == "eval":
         from hosnerf_tpu.eval import renderers
         results = renderers.evaluate_scene(eval_step, params, pipe, logdir)
         print(results)
+    else:  # render: interpolated camera-path video (reference `predict`)
+        from hosnerf_tpu.eval import renderers
+        path = renderers.render_scene_path(eval_step, params, pipe, logdir)
+        print(f"wrote {path}")
 
 
 def run_human(args) -> None:
@@ -216,11 +220,18 @@ def run_human(args) -> None:
             return model.apply({"params": p}, b, 10**7, s_idx,
                                is_train=False)["rgb"]
 
-        test_ds = HumanDataset(datadir, mode="test",
-                               bgcolor=[255.0, 255.0, 255.0])
-        out = renderers.evaluate_human(render_fn, params, test_ds, logdir,
-                                       "testimgs")
-        print(out)
+        def factory(mode, **kw):
+            return HumanDataset(datadir, mode=mode,
+                                bgcolor=[255.0, 255.0, 255.0], **kw)
+
+        if args.run_mode == "eval":
+            out = renderers.full_human_eval(render_fn, params, factory,
+                                            logdir,
+                                            transitions=ds.transitions)
+        else:  # render: freeview orbit video only
+            out = renderers.render_freeview(
+                render_fn, params, factory(mode="freeview"), logdir)
+        print(out if args.run_mode == "eval" else f"{len(out)} frames")
 
 
 def run_hosnerf(args) -> None:
@@ -303,12 +314,29 @@ def run_hosnerf(args) -> None:
                 cfg, scene_model, human_model, p, b, 10**7, s_idx)
             return comp["rgb"]
 
-        test_ds = HumanDataset(datadir, mode="test", use_scaleworld=True,
-                               bgcolor=[255.0, 255.0, 255.0])
-        out = renderers.evaluate_human(
-            render_fn, params, test_ds, logdir, "testimgs",
-            extra_keys=("newsmpl_to_scale_world",))
-        print(out)
+        def factory(mode, **kw):
+            return HumanDataset(datadir, mode=mode, use_scaleworld=True,
+                                bgcolor=[255.0, 255.0, 255.0], **kw)
+
+        @jax.jit
+        def tpose_render_fn(p, b):
+            # human-only canonical render (ref: 3rd test_tpose)
+            s_idx = (state_index(b["time"], trans) if "time" in b
+                     else jnp.int32(0))
+            return human_model.apply({"params": p["human"]}, b, 10**7,
+                                     s_idx, is_train=False)["rgb"]
+
+        if args.run_mode == "eval":
+            out = renderers.full_human_eval(
+                render_fn, params, factory, logdir,
+                transitions=ds.transitions,
+                extra_keys=("newsmpl_to_scale_world",),
+                tpose_render_fn=tpose_render_fn)
+        else:
+            out = renderers.render_freeview(
+                render_fn, params, factory(mode="freeview"), logdir,
+                extra_keys=("newsmpl_to_scale_world",))
+        print(out if args.run_mode == "eval" else f"{len(out)} frames")
 
 
 def main(argv=None):

@@ -109,18 +109,60 @@ def evaluate_scene(eval_step, params, pipe, logdir: str,
     return results
 
 
+def render_scene_path(eval_step, params, pipe, logdir: str,
+                      chunk: int = 4096, fps: int = 20) -> str:
+    """Render the interpolated camera path to mp4 (the reference's
+    `trainer.predict` -> on_predict_epoch_end video;
+    ref: src/model/interface.py:134-150, render path from
+    pose_utils.pose_interp)."""
+    from hosnerf_tpu.data import rays as ray_gen
+    frames = []
+    scene = pipe.scene
+    h, w = scene.image_sizes[0]
+    for pose, t in zip(scene.render_poses, scene.render_times):
+        rays_o, rays_d, viewdirs, radii = ray_gen.image_rays(
+            scene.intrinsics[0], pose, int(h), int(w))
+        n = rays_o.shape[0]
+        outs = []
+        for s in range(0, n, chunk):
+            sl = slice(s, min(s + chunk, n))
+            npad = chunk - (sl.stop - sl.start)
+            batch = {
+                "rays_o": jnp.asarray(np.pad(rays_o[sl], ((0, npad), (0, 0)),
+                                             mode="edge")),
+                "rays_d": jnp.asarray(np.pad(rays_d[sl], ((0, npad), (0, 0)),
+                                             mode="edge")),
+                "viewdirs": jnp.asarray(np.pad(viewdirs[sl],
+                                               ((0, npad), (0, 0)),
+                                               mode="edge")),
+                "radii": jnp.asarray(np.pad(radii[sl], ((0, npad), (0, 0)),
+                                            mode="edge")),
+                "times": jnp.full((chunk,), t, jnp.float32),
+            }
+            outs.append(np.asarray(eval_step(params, batch))
+                        [: sl.stop - sl.start])
+        frames.append(np.concatenate(outs).reshape(int(h), int(w), 3))
+    return eio.store_video(os.path.join(logdir, "render_video"), frames,
+                           fps=fps)
+
+
 def evaluate_human(render_fn, params, dataset, logdir: str, tag: str,
                    lpips_metric=None, chunk: int = 8192,
                    extra_keys: tuple = (), max_items: Optional[int] = None,
                    save_images: bool = True) -> Dict:
     """One sweep over a HumanDataset (progress/test/movement modes):
-    renders each frame, computes PSNR/SSIM/LPIPS vs target, dumps jpgs
-    (ref: 2nd model.py:636-887)."""
+    renders each frame, computes PSNR/SSIM/LPIPS vs target, dumps jpgs,
+    and flags all-background renders (the reference's empty-image trap,
+    2nd model.py:545-547). (ref: 2nd model.py:636-887)."""
     psnrs, ssims, lpipss, images = [], [], [], []
+    is_empty = False
     n = len(dataset) if max_items is None else min(max_items, len(dataset))
     for i in range(n):
         item = dataset[i]
         rgb = render_human_image(render_fn, params, item, chunk, extra_keys)
+        bg = np.asarray(item["bgcolor"]) / 255.0
+        if np.allclose(rgb, bg, atol=5.0 / 255.0):
+            is_empty = True
         tgt = item["target_img"]
         psnrs.append(float(M.psnr(jnp.asarray(rgb), jnp.asarray(tgt))))
         ssims.append(float(M.ssim(jnp.asarray(rgb), jnp.asarray(tgt),
@@ -138,9 +180,41 @@ def evaluate_human(render_fn, params, dataset, logdir: str, tag: str,
         "psnr": float(np.mean(psnrs)) if psnrs else None,
         "ssim": float(np.mean(ssims)) if ssims else None,
         "lpips": float(np.mean(lpipss)) if lpipss else None,
+        "is_empty_img": is_empty,
     }
     eio.write_stats(os.path.join(logdir, f"results_{tag}.json"), out)
     return out
+
+
+def full_human_eval(render_fn, params, dataset_factory, logdir: str,
+                    transitions=None, lpips_metric=None, chunk: int = 8192,
+                    extra_keys: tuple = (), tpose_resolution: int = 512,
+                    freeview_frames: int = 100,
+                    tpose_render_fn=None) -> Dict:
+    """The reference's complete test_step sweep: held-out test frames,
+    all frames ('movement'), 360-degree freeview orbit, and canonical-pose
+    renders at per-state midpoint times (ref: 2nd model.py:872-887).
+    `dataset_factory(mode, **kw)` builds a HumanDataset."""
+    results = {}
+    results["testimgs"] = evaluate_human(
+        render_fn, params, dataset_factory(mode="test"), logdir,
+        "testimgs", lpips_metric, chunk, extra_keys)
+    results["allimgs"] = evaluate_human(
+        render_fn, params, dataset_factory(mode="movement"), logdir,
+        "allimgs", lpips_metric, chunk, extra_keys)
+    render_freeview(render_fn, params,
+                    dataset_factory(mode="freeview",
+                                    render_frames=freeview_frames),
+                    logdir, chunk, extra_keys)
+    # stage 3 renders the canonical pose with the HUMAN model only
+    # (ref: 3rd model.py test_tpose)
+    render_tpose(tpose_render_fn or render_fn, params,
+                 dataset_factory(mode="tpose"), logdir,
+                 transitions=transitions, resolution=tpose_resolution,
+                 chunk=chunk)
+    eio.write_stats(os.path.join(logdir, "results.json"),
+                    results["testimgs"], results["allimgs"])
+    return results
 
 
 def render_freeview(render_fn, params, dataset, logdir: str,

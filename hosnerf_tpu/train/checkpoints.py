@@ -253,3 +253,121 @@ def overlay_params(target, imported) -> Any:
             f"shape mismatch importing checkpoint: {arr.shape} vs "
             f"{np.asarray(target).shape}")
     return jax.numpy.asarray(arr)
+
+
+# ---------------------------------------------------------------------------
+# torch Lightning .ckpt export (inverse of the importers)
+# ---------------------------------------------------------------------------
+
+def _k2t(kernel) -> np.ndarray:  # flax kernel -> torch linear weight
+    return np.ascontiguousarray(np.asarray(kernel).T.astype(np.float32))
+
+
+def _conv_k2t(kernel) -> np.ndarray:  # DHWIO -> ConvTranspose3d (in,out,k^3)
+    k = np.asarray(kernel).transpose(3, 4, 0, 1, 2)
+    return np.ascontiguousarray(np.flip(k, (2, 3, 4)).astype(np.float32))
+
+
+def _put_dense(sd: Dict[str, np.ndarray], torch_key: str, node: Dict):
+    sd[torch_key + ".weight"] = _k2t(node["Dense_0"]["kernel"])
+    sd[torch_key + ".bias"] = np.asarray(node["Dense_0"]["bias"],
+                                         np.float32)
+
+
+def export_scene_params(params: Dict[str, Any], num_levels: int = 3,
+                        prefix: str = "model.") -> Dict[str, np.ndarray]:
+    """SceneField params -> Lightning-style state_dict (reference key
+    naming), so checkpoints flow back to the torch reference."""
+    sd: Dict[str, np.ndarray] = {}
+    for i in range(num_levels):
+        ours = f"prop_mlp_{i}" if i < num_levels - 1 else "nerf_mlp"
+        if ours not in params:
+            continue
+        mlp = params[ours]
+        base = f"{prefix}mlps.{i}."
+        j = 0
+        while f"pts_linear_{j}" in mlp:
+            _put_dense(sd, f"{base}pts_linear.{j}", mlp[f"pts_linear_{j}"])
+            j += 1
+        for layer in ("density_layer", "bottleneck_layer", "rgb_layer"):
+            if layer in mlp:
+                _put_dense(sd, f"{base}{layer}", mlp[layer])
+        j = 0
+        while f"views_linear_{j}" in mlp:
+            _put_dense(sd, f"{base}views_linear.{j}",
+                       mlp[f"views_linear_{j}"])
+            j += 1
+        if "state_embeds" in mlp:
+            embeds = np.asarray(mlp["state_embeds"], np.float32)
+            for k in range(embeds.shape[0]):
+                sd[f"{base}bkgd_stateembeds.{k}"] = embeds[k]
+    return sd
+
+
+def export_human_params(params: Dict[str, Any], prefix: str = "human.",
+                        nr_mlp_depth: int = 6, cnl_mlp_depth: int = 8,
+                        pose_mlp_depth: int = 4) -> Dict[str, np.ndarray]:
+    """HumanObjectField params -> Lightning-style state_dict."""
+    sd: Dict[str, np.ndarray] = {}
+    cnl = params.get("cnl_mlp", {})
+    for j in range(cnl_mlp_depth):
+        if f"linear_{j}" in cnl:
+            _put_dense(sd, f"{prefix}cnl_mlp.pts_linears.{2 * j}",
+                       cnl[f"linear_{j}"])
+    if "output" in cnl:
+        _put_dense(sd, f"{prefix}cnl_mlp.output_linear.0", cnl["output"])
+
+    for mod in ("non_rigid_mlp", "non_rigid_forward_mlp"):
+        node = params.get(mod, {})
+        for j in range(nr_mlp_depth):
+            if f"linear_{j}" in node:
+                _put_dense(sd, f"{prefix}{mod}.block_mlps.{2 * j}",
+                           node[f"linear_{j}"])
+        if "output" in node:
+            _put_dense(sd, f"{prefix}{mod}.block_mlps.{2 * nr_mlp_depth}",
+                       node["output"])
+
+    pose = params.get("pose_decoder", {})
+    for j in range(pose_mlp_depth - 1):
+        if f"trunk_{j}" in pose:
+            _put_dense(sd, f"{prefix}pose_decoder.block_mlps.{2 * j}",
+                       pose[f"trunk_{j}"])
+    for torch_head, ours in (("block_mlps_dstR", "head_r"),
+                             ("block_mlps_dstT", "head_t")):
+        if f"{ours}_0" in pose:
+            _put_dense(sd, f"{prefix}pose_decoder.{torch_head}.0",
+                       pose[f"{ours}_0"])
+        if f"{ours}_out" in pose:
+            _put_dense(sd, f"{prefix}pose_decoder.{torch_head}.2",
+                       pose[f"{ours}_out"])
+
+    if "mweight_vol_decoder" in params:
+        dec = params["mweight_vol_decoder"]
+        sd[f"{prefix}mweight_vol_decoder.const_embedding"] = np.asarray(
+            dec["const_embedding"], np.float32)
+        dd = dec["decoder"]
+        _put_dense(sd, f"{prefix}mweight_vol_decoder.decoder.block_mlp.0",
+                   dd["block_mlp"])
+        conv_names = sorted([k for k in dd if k.startswith("deconv_")
+                             and k != "deconv_out"],
+                            key=lambda s: int(s.split("_")[1]))
+        conv_names.append("deconv_out")
+        for n, name in enumerate(conv_names):
+            base = (f"{prefix}mweight_vol_decoder.decoder."
+                    f"block_conv.{2 * n}")
+            sd[base + ".weight"] = _conv_k2t(dd[name]["kernel"])
+            sd[base + ".bias"] = np.asarray(dd[name]["bias"], np.float32)
+
+    if "state_embeds" in params:
+        embeds = np.asarray(params["state_embeds"], np.float32)
+        for k in range(embeds.shape[0]):
+            sd[f"{prefix}human_stateembeds.{k}"] = embeds[k]
+    return sd
+
+
+def save_torch_ckpt(path: str, state_dict: Dict[str, np.ndarray]) -> str:
+    """Write a Lightning-compatible .ckpt (state_dict of torch tensors)."""
+    import torch
+    sd = {k: torch.from_numpy(np.asarray(v)) for k, v in state_dict.items()}
+    torch.save({"state_dict": sd}, path)
+    return path

@@ -216,3 +216,66 @@ def test_orbax_best_last_roundtrip(tmp_path):
     np.testing.assert_allclose(np.asarray(restored["params"]["w"]),
                                np.arange(4.0))
     assert int(restored["step"]) == 7
+
+
+def test_export_import_roundtrip_human(rng_np):
+    """our params -> torch state_dict -> import -> identical params."""
+    import tempfile
+
+    import torch
+
+    from hosnerf_tpu.data import synthetic
+    from hosnerf_tpu.train import stage2
+    from hosnerf_tpu.train.checkpoints import (export_human_params,
+                                               import_human_params,
+                                               overlay_params,
+                                               save_torch_ckpt)
+
+    cfg = stage2.Stage2Config(n_samples=4, cnl_mlp_width=32, nr_mlp_width=16,
+                              mweight_volume_size=8, n_patches=1,
+                              patch_size=4)
+    batch = {k: jnp.asarray(v) for k, v in
+             synthetic.human_batch(1, 4, grid_size=8).items()}
+    params, _, _, _ = stage2.init_state(cfg, jax.random.key(3), batch)
+    params_np = jax.tree.map(np.asarray, params)
+
+    sd = export_human_params(params_np)
+    with tempfile.NamedTemporaryFile(suffix=".ckpt") as f:
+        save_torch_ckpt(f.name, sd)
+        imported = import_human_params(f.name)
+
+    merged = overlay_params(params_np, imported)
+    diffs = jax.tree.map(lambda a, b: float(np.abs(np.asarray(a)
+                                                   - np.asarray(b)).max()),
+                         params_np, merged)
+    assert max(jax.tree.leaves(diffs)) == 0.0
+
+
+def test_export_import_roundtrip_scene(rng_np):
+    import tempfile
+
+    from hosnerf_tpu.data import synthetic
+    from hosnerf_tpu.train import stage1
+    from hosnerf_tpu.train.checkpoints import (export_scene_params,
+                                               import_scene_params,
+                                               overlay_params,
+                                               save_torch_ckpt)
+
+    cfg = stage1.Stage1Config(nerf_netwidth=32, prop_netwidth=16,
+                              num_prop_samples=8, num_nerf_samples=4,
+                              num_states=3)
+    batch = {k: jnp.asarray(v) for k, v in
+             synthetic.scene_ray_batch(8).items()}
+    params, _, _ = stage1.init_state(cfg, jax.random.key(4), batch)
+    params_np = jax.tree.map(np.asarray, params)
+
+    sd = export_scene_params(params_np)
+    assert "model.mlps.2.bkgd_stateembeds.2" in sd  # 3 states exported
+    with tempfile.NamedTemporaryFile(suffix=".ckpt") as f:
+        save_torch_ckpt(f.name, sd)
+        imported = import_scene_params(f.name)
+    merged = overlay_params(params_np, imported)
+    diffs = jax.tree.map(lambda a, b: float(np.abs(np.asarray(a)
+                                                   - np.asarray(b)).max()),
+                         params_np, merged)
+    assert max(jax.tree.leaves(diffs)) == 0.0
