@@ -131,6 +131,7 @@ def run_scene(args) -> None:
             return float(M.psnr(jnp.asarray(rgb),
                                 jnp.asarray(scene.images[i])))
 
+        from hosnerf_tpu.train.schedules import warmup_log_lerp
         loop.run_training(
             num_steps=max_steps,
             sample_batch=lambda: pmesh.shard_batch(
@@ -138,7 +139,10 @@ def run_scene(args) -> None:
             step_fn=step_fn, init_carry=(params, opt_state),
             logdir=logdir, rays_per_step=batch_size,
             log_every=int(run_cfg.get("log_every_n_steps", 100)),
-            val_fn=val_fn, rng=jax.random.key(args.seed + 1))
+            val_fn=val_fn, rng=jax.random.key(args.seed + 1),
+            lr_schedule=lambda s: warmup_log_lerp(
+                s, cfg.max_steps, cfg.lr_init, cfg.lr_final,
+                cfg.lr_delay_steps, cfg.lr_delay_mult))
     elif args.run_mode == "eval":
         from hosnerf_tpu.eval import renderers
         results = renderers.evaluate_scene(eval_step, params, pipe, logdir)
@@ -171,12 +175,16 @@ def run_human(args) -> None:
                   if ds.transitions is not None else 1)
     train_y = cfg_yaml.get("train", {})
     max_steps = args.max_steps or int(train_y.get("maxiter", 400_000))
+    netchunk = cfg_yaml.get("netchunk_per_gpu")
     cfg = stage2.Stage2Config(
         maxiter=max_steps,
         lr=float(train_y.get("lr", 0.0006667)),
         num_states=num_states,
         n_patches=ds.n_patches, patch_size=ds.patch_size,
-        n_samples=int(cfg_yaml.get("N_samples", 128)))
+        n_samples=int(cfg_yaml.get("N_samples", 128)),
+        # reference uses netchunk_per_gpu*4 points per MLP call
+        # (network.py:115); None (unset) = dense single pass
+        mlp_chunk=int(netchunk) * 4 if netchunk else None)
 
     def make_batch(i=None):
         idx = (np.random.randint(len(ds)) if i is None else i)
@@ -262,6 +270,8 @@ def run_hosnerf(args) -> None:
         maxiter=max_steps, num_states=num_states,
         n_patches=ds.n_patches, patch_size=ds.patch_size,
         n_samples=int(cfg_yaml.get("N_samples", 128)),
+        mlp_chunk=(int(cfg_yaml["netchunk_per_gpu"]) * 4
+                   if cfg_yaml.get("netchunk_per_gpu") else None),
         near_bkg=float(gin.get("LitDataHumanObject.near_bkg", 0.1)),
         far_bkg=float(gin.get("LitDataHumanObject.far_bkg", 1e6)),
         nerf_netwidth=int(gin.get("NeRFMLP.netwidth", 1024)),

@@ -68,6 +68,12 @@ class HumanObjectField(nn.Module):
     # rematerialize the per-sample MLP activations in backward; essential
     # for production batch sizes (1M+ samples/step)
     remat: bool = True
+    # when set, evaluate the per-sample MLPs in sequential chunks of this
+    # many samples via nn.scan — bounds live activation memory to one
+    # chunk (the TPU-native form of the reference's `netchunk`,
+    # ref: network.py:115 / configs default netchunk_per_gpu). None =
+    # single dense pass (fastest; use for batches that fit).
+    mlp_chunk: Optional[int] = None
 
     def setup(self):
         self.pose_decoder = BodyPoseRefiner(
@@ -115,6 +121,28 @@ class HumanObjectField(nn.Module):
                 >= self.nr_kick_in_iter).astype(posevec.dtype)
         return posevec * gate
 
+    def _chunked(self, module, *args):
+        """Apply a per-sample module over `mlp_chunk`-sized slices of the
+        flat sample axis (static unrolled loop; with remat each chunk's
+        activations are freed before the next — the memory profile of the
+        reference's netchunk without its python-dispatch overhead). Pads N
+        to a chunk multiple and strips. Param paths are identical to the
+        dense pass (same module, repeated calls)."""
+        if not self.mlp_chunk:
+            return module(*args)
+        n = args[0].shape[0]
+        c = self.mlp_chunk
+        pad = (-n) % c
+        padded = []
+        for a in args:
+            if pad:
+                a = jnp.pad(a, ((0, pad),) + ((0, 0),) * (a.ndim - 1))
+            padded.append(a)
+        outs = [module(*(a[s:s + c] for a in padded))
+                for s in range(0, n + pad, c)]
+        out = jax.tree.map(lambda *xs: jnp.concatenate(xs, 0), *outs)
+        return jax.tree.map(lambda o: o[:n], out)
+
     def _canonical_raw(self, cnl_pts, state_idx):
         """PE + state embedding -> canonical MLP raw rgb+sigma
         (ref: network.py:174-251)."""
@@ -122,8 +150,8 @@ class HumanObjectField(nn.Module):
         embed = self.state_embeds[state_idx]
         embed = jnp.broadcast_to(
             embed, xyz_embedded.shape[:-1] + (embed.shape[-1],))
-        return self.cnl_mlp(
-            jnp.concatenate([xyz_embedded, embed], axis=-1))
+        return self._chunked(
+            self.cnl_mlp, jnp.concatenate([xyz_embedded, embed], axis=-1))
 
     # ------------------------------------------------------------------
     def __call__(self, batch: Dict[str, Any], iter_val, state_idx,
@@ -185,8 +213,8 @@ class HumanObjectField(nn.Module):
         if not self.ignore_non_rigid_motions:
             nr_embed = embedders.hannw_fourier_embed(
                 x_skel, self.nr_multires, alpha)
-            nr_out = self.non_rigid_mlp(
-                nr_embed, x_skel,
+            nr_out = self._chunked(
+                self.non_rigid_mlp, nr_embed, x_skel,
                 jnp.broadcast_to(cond, (x_skel.shape[0], cond.shape[-1])))
             cnl_pts = nr_out["xyz"]
         else:
@@ -205,8 +233,8 @@ class HumanObjectField(nn.Module):
             if not self.ignore_non_rigid_motions:
                 fw_embed = embedders.hannw_fourier_embed(
                     deform_pts, self.nr_multires, alpha)
-                deform_pts = self.non_rigid_forward_mlp(
-                    fw_embed, deform_pts,
+                deform_pts = self._chunked(
+                    self.non_rigid_forward_mlp, fw_embed, deform_pts,
                     jnp.broadcast_to(cond,
                                      (deform_pts.shape[0], cond.shape[-1])),
                 )["xyz"]
@@ -233,8 +261,8 @@ class HumanObjectField(nn.Module):
             if not self.ignore_non_rigid_motions:
                 fwp_embed = embedders.hannw_fourier_embed(
                     deform_prev, self.nr_multires, alpha)
-                deform_prev = self.non_rigid_forward_mlp(
-                    fwp_embed, deform_prev,
+                deform_prev = self._chunked(
+                    self.non_rigid_forward_mlp, fwp_embed, deform_prev,
                     jnp.broadcast_to(
                         cond_prev,
                         (deform_prev.shape[0], cond_prev.shape[-1])),

@@ -37,9 +37,14 @@ class MetricLogger:
         self._step_last = 0
 
     def log(self, step: int, metrics: Dict[str, Any],
-            rays_per_step: Optional[int] = None):
+            rays_per_step: Optional[int] = None,
+            lr: Optional[float] = None):
+        """`lr` mirrors the reference's LearningRateMonitor
+        (1st run.py LearningRateMonitor callback)."""
         if step % self.log_every:
             return
+        if lr is not None:
+            metrics = {**metrics, "lr": lr}
         now = time.perf_counter()
         dt = now - self._t_last
         n = max(step - self._step_last, 1)
@@ -75,7 +80,8 @@ def run_training(
         extra_step_args: Callable[[int, jax.Array], tuple] = None,
         val_fn: Optional[Callable[[tuple, int], float]] = None,
         val_every: int = 50_000, rng: Optional[jax.Array] = None,
-        profile_steps: Optional[tuple] = None) -> tuple:
+        profile_steps: Optional[tuple] = None,
+        lr_schedule: Optional[Callable[[int], float]] = None) -> tuple:
     """Generic loop: carry = (params, opt_state, *rest)."""
     carry = init_carry
     rng = rng if rng is not None else jax.random.key(0)
@@ -93,7 +99,9 @@ def run_training(
             jax.block_until_ready(aux["loss"])
             jax.profiler.stop_trace()
 
-        logger.log(step, aux, rays_per_step)
+        logger.log(step, aux, rays_per_step,
+                   lr=(float(lr_schedule(step)) if lr_schedule
+                       and step % log_every == 0 else None))
         if step % 500 == 0:
             check_finite(step, aux["loss"])
         if checkpoint_every and step and step % checkpoint_every == 0:

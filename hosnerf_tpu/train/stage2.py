@@ -53,6 +53,9 @@ class Stage2Config:
     num_states: int = 1
     total_bones: int = 26
     perturb: float = 1.0
+    # chunked per-sample MLP evaluation (the reference's netchunk_per_gpu*4,
+    # ref network.py:115); None = dense
+    mlp_chunk: "int | None" = None
     # tiny-model knobs for tests
     cnl_mlp_width: int = 256
     nr_mlp_width: int = 128
@@ -64,7 +67,8 @@ def make_model(cfg: Stage2Config) -> HumanObjectField:
         total_bones=cfg.total_bones, n_samples=cfg.n_samples,
         num_states=cfg.num_states, cnl_mlp_width=cfg.cnl_mlp_width,
         nr_mlp_width=cfg.nr_mlp_width,
-        mweight_volume_size=cfg.mweight_volume_size)
+        mweight_volume_size=cfg.mweight_volume_size,
+        mlp_chunk=cfg.mlp_chunk)
 
 
 # --------------------------------------------------------------------------

@@ -47,6 +47,7 @@ class Stage3Config:
     num_states: int = 1
     total_bones: int = 26
     perturb: float = 1.0
+    mlp_chunk: "int | None" = None  # chunked human-MLP evaluation
     near_bkg: float = 0.1  # ref: 3rd gin LitDataHumanObject.near_bkg
     far_bkg: float = 1e6
     # scene model (opaque background in stage 3; ref: Backpack.gin)
@@ -66,7 +67,8 @@ def make_models(cfg: Stage3Config):
         total_bones=cfg.total_bones, n_samples=cfg.n_samples,
         num_states=cfg.num_states, cnl_mlp_width=cfg.cnl_mlp_width,
         nr_mlp_width=cfg.nr_mlp_width,
-        mweight_volume_size=cfg.mweight_volume_size)
+        mweight_volume_size=cfg.mweight_volume_size,
+        mlp_chunk=cfg.mlp_chunk)
     scene = scene_mod.SceneField(
         num_states=cfg.num_states, num_prop_samples=cfg.num_prop_samples,
         num_nerf_samples=cfg.num_nerf_samples,

@@ -154,3 +154,34 @@ def test_stage2_flow_gated_by_time(setup):
     _, l1 = jax.jit(loss_fn)(params, None, b1, 100, jnp.int32(0),
                              jax.random.key(0))
     assert float(l1["flow"]) != 0.0
+
+
+def test_mlp_chunked_eval_matches_dense(setup):
+    """nn.scan chunked MLP evaluation is numerically identical to the
+    dense pass (same params, same outputs)."""
+    cfg, batch, params, _, model, _ = setup
+    out_dense = model.apply({"params": params}, batch, 1000, jnp.int32(0),
+                            is_train=False)
+    model_chunked = stage2.make_model(cfg).clone(mlp_chunk=100)  # non-divisor
+    out_chunk = model_chunked.apply({"params": params}, batch, 1000,
+                                    jnp.int32(0), is_train=False)
+    np.testing.assert_allclose(np.asarray(out_chunk["rgb"]),
+                               np.asarray(out_dense["rgb"]), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out_chunk["weights"]),
+                               np.asarray(out_dense["weights"]), atol=1e-5)
+
+
+def test_mlp_chunked_grads_match_dense(setup):
+    cfg, batch, params, _, model, _ = setup
+    model_chunked = stage2.make_model(cfg).clone(mlp_chunk=128)
+
+    def loss(p, m):
+        o = m.apply({"params": p}, batch, 20000, jnp.int32(0),
+                    rng=jax.random.key(5), is_train=True)
+        return jnp.sum(o["rgb"] ** 2)
+
+    g1 = jax.grad(loss)(params, model)
+    g2 = jax.grad(loss)(params, model_chunked)
+    d = jax.tree.reduce(max, jax.tree.map(
+        lambda a, b: float(jnp.abs(a - b).max()), g1, g2))
+    assert d < 1e-4, d  # f32 summation-order noise only
