@@ -203,8 +203,8 @@ def run_human(args) -> None:
     lp_model = lpips_mod.LPIPS()
     lp_apply = lambda p, a, b: lp_model.apply({"params": p}, a, b)
 
-    step_fn = jax.jit(functools.partial(
-        stage2.make_train_step(cfg, model, opt, ds.transitions, lp_apply)))
+    step_fn = jax.jit(
+        stage2.make_train_step(cfg, model, opt, ds.transitions, lp_apply))
 
     def wrapped_step(params, opt_state, batch, step, rng):
         return step_fn(params, opt_state, lp_params, batch, step, rng)

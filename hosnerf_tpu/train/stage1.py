@@ -21,7 +21,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
-from flax.core import FrozenDict
 
 from hosnerf_tpu.models import scene
 from hosnerf_tpu.models.state import state_index

@@ -139,9 +139,6 @@ def composed_forward(cfg: Stage3Config, scene_model, human_model, params,
 
 def make_loss_fn(cfg: Stage3Config, scene_model, human_model,
                  lpips_apply=None):
-    s2cfg = s2.Stage2Config(n_patches=cfg.n_patches,
-                            patch_size=cfg.patch_size)
-
     def loss_fn(params, lpips_params, batch, iter_val, state_idx, rng):
         comp, human_out = composed_forward(
             cfg, scene_model, human_model, params, batch, iter_val,
