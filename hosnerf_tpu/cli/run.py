@@ -49,7 +49,40 @@ def build_parser() -> argparse.ArgumentParser:
                    default="train")
     p.add_argument("--max_steps", type=int, default=None,
                    help="override gin/yaml step count")
+    p.add_argument("--lpips_vgg_path", type=str,
+                   default=os.environ.get("LPIPS_VGG_PATH"),
+                   help="torchvision vgg16 state_dict (.pth) for "
+                        "metric-grade LPIPS; falls back to fixed-seed "
+                        "random VGG features without it")
     return p
+
+
+def _make_lpips_metric(lp_model, lp_params):
+    """Full-image LPIPS metric: (rgb01 [H,W,3], tgt01 [H,W,3]) -> scalar.
+    Mirrors the reference's eval usage (2nd model.py:745-773: img*2-1)."""
+    import jax
+
+    @jax.jit
+    def metric(a, b):
+        return lp_model.apply({"params": lp_params},
+                              (a * 2.0 - 1.0)[None],
+                              (b * 2.0 - 1.0)[None])[0]
+    return metric
+
+
+def _load_lpips(args, patch_size: int):
+    """Build the jittable LPIPS (loss + metric) with whatever torch
+    weights are available (lin heads always; vgg16 backbone when
+    --lpips_vgg_path is supplied; KNOWN_GAPS #1)."""
+    import jax
+
+    from hosnerf_tpu.models import lpips as lpips_mod
+    lp_params = lpips_mod.load_torch_weights(
+        jax.tree.map(np.asarray, lpips_mod.init_lpips_params(
+            jax.random.key(7), (patch_size, patch_size))),
+        vgg_path=args.lpips_vgg_path)
+    lp_model = lpips_mod.LPIPS()
+    return lp_model, lp_params
 
 
 def _logdir(args) -> str:
@@ -112,12 +145,19 @@ def run_scene(args) -> None:
     params, opt_state, model = stage1.init_state(
         cfg, jax.random.key(args.seed), example, transitions)
     opt = stage1.make_optimizer(cfg)
-    if args.resume_training or args.ckpt_path:
+    start_step, loop_rng = 0, jax.random.key(args.seed + 1)
+    if args.ckpt_path and args.ckpt_path.endswith(".ckpt"):
+        # torch Lightning checkpoint: params-only warm start
         from hosnerf_tpu.train import checkpoints as ck
-        name = args.ckpt_path or "last"
-        restored = ck.restore_checkpoint(os.path.join(logdir, "ckpt"),
-                                         name, {"params": params, "step": 0})
-        params = restored["params"]
+        params = ck.overlay_params(params,
+                                   ck.import_scene_params(args.ckpt_path))
+    elif args.resume_training or args.ckpt_path:
+        # true resume: LR schedule + Adam moments continue
+        # (ref: 1st run.py:158-160 resumes <logdir>/last.ckpt)
+        from hosnerf_tpu.train import checkpoints as ck
+        params, opt_state, start_step, loop_rng = ck.restore_train_state(
+            os.path.join(logdir, "ckpt"), args.ckpt_path or "last",
+            params, opt_state, loop_rng)
 
     step_fn = jax.jit(stage1.make_train_step(cfg, model, opt, transitions))
     eval_step = jax.jit(stage1.make_eval_step(cfg, model, transitions))
@@ -139,13 +179,16 @@ def run_scene(args) -> None:
             step_fn=step_fn, init_carry=(params, opt_state),
             logdir=logdir, rays_per_step=batch_size,
             log_every=int(run_cfg.get("log_every_n_steps", 100)),
-            val_fn=val_fn, rng=jax.random.key(args.seed + 1),
+            val_fn=val_fn, rng=loop_rng, start_step=start_step,
             lr_schedule=lambda s: warmup_log_lerp(
                 s, cfg.max_steps, cfg.lr_init, cfg.lr_final,
                 cfg.lr_delay_steps, cfg.lr_delay_mult))
     elif args.run_mode == "eval":
         from hosnerf_tpu.eval import renderers
-        results = renderers.evaluate_scene(eval_step, params, pipe, logdir)
+        lp_model, lp_params = _load_lpips(args, 32)
+        results = renderers.evaluate_scene(
+            eval_step, params, pipe, logdir,
+            lpips_metric=_make_lpips_metric(lp_model, lp_params))
         print(results)
     else:  # render: interpolated camera-path video (reference `predict`)
         from hosnerf_tpu.eval import renderers
@@ -159,6 +202,10 @@ def run_human(args) -> None:
 
     from hosnerf_tpu.config import yamlcfg
     from hosnerf_tpu.data.human_dataset import HumanDataset
+    from hosnerf_tpu.eval import renderers
+    from hosnerf_tpu.models.state import state_index
+    from hosnerf_tpu.parallel import mesh as pmesh
+    from hosnerf_tpu.train import checkpoints as ck
     from hosnerf_tpu.train import loop, stage2
 
     cfg_yaml = yamlcfg.make_cfg(args.cfg, args.default_cfg)
@@ -186,22 +233,32 @@ def run_human(args) -> None:
         # (network.py:115); None (unset) = dense single pass
         mlp_chunk=int(netchunk) * 4 if netchunk else None)
 
+    # batches are sharded over the data mesh exactly like stage 1 — the
+    # TPU analog of the reference's 4-GPU DDP training (2nd run.py DDP;
+    # SURVEY.md §2.6)
+    mesh = pmesh.make_mesh()
+
     def make_batch(i=None):
         idx = (np.random.randint(len(ds)) if i is None else i)
         item = ds[idx]
-        return {k: jnp.asarray(v) for k, v in item.items()
-                if k != "frame_name"}
+        return pmesh.shard_batch(
+            {k: v for k, v in item.items() if k != "frame_name"}, mesh)
 
     example = make_batch(0)
     params, opt_state, model, opt = stage2.init_state(
         cfg, jax.random.key(args.seed), example)
 
-    from hosnerf_tpu.models import lpips as lpips_mod
-    lp_params = lpips_mod.load_torch_weights(
-        jax.tree.map(np.asarray, lpips_mod.init_lpips_params(
-            jax.random.key(7), (cfg.patch_size, cfg.patch_size))))
-    lp_model = lpips_mod.LPIPS()
+    lp_model, lp_params = _load_lpips(args, cfg.patch_size)
     lp_apply = lambda p, a, b: lp_model.apply({"params": p}, a, b)
+
+    start_step, loop_rng = 0, jax.random.key(args.seed + 1)
+    if args.ckpt_path and args.ckpt_path.endswith(".ckpt"):
+        params = ck.overlay_params(params,
+                                   ck.import_human_params(args.ckpt_path))
+    elif args.resume_training or args.ckpt_path:
+        params, opt_state, start_step, loop_rng = ck.restore_train_state(
+            os.path.join(logdir, "ckpt"), args.ckpt_path or "last",
+            params, opt_state, loop_rng)
 
     step_fn = jax.jit(
         stage2.make_train_step(cfg, model, opt, ds.transitions, lp_apply))
@@ -209,33 +266,46 @@ def run_human(args) -> None:
     def wrapped_step(params, opt_state, batch, step, rng):
         return step_fn(params, opt_state, lp_params, batch, step, rng)
 
+    trans = (jnp.asarray(ds.transitions) if ds.transitions is not None
+             else None)
+
+    @jax.jit
+    def render_fn(p, b):
+        s_idx = state_index(b["time"], trans) if "time" in b else 0
+        return model.apply({"params": p}, b, 10**7, s_idx,
+                           is_train=False)["rgb"]
+
     if args.run_mode == "train":
+        # in-training progress eval + empty-render trap
+        # (ref: 2nd model.py:495-564,600-603)
+        prog_ds = HumanDataset(datadir, mode="progress", seed=args.seed)
+        lp_metric = _make_lpips_metric(lp_model, lp_params)
+
+        def progress_fn(carry, step):
+            return renderers.evaluate_human(
+                render_fn, carry[0], prog_ds, logdir,
+                f"prog_{step:06d}", lpips_metric=lp_metric, max_items=4)
+
         loop.run_training(
             num_steps=max_steps, sample_batch=make_batch,
             step_fn=wrapped_step, init_carry=(params, opt_state),
             logdir=logdir,
             rays_per_step=cfg.n_patches * cfg.patch_size**2,
-            rng=jax.random.key(args.seed + 1))
+            rng=loop_rng, start_step=start_step,
+            progress_fn=progress_fn,
+            progress_every=int(cfg_yaml.get("progress", {}).get(
+                "dump_interval", 5000)))
     else:
-        from hosnerf_tpu.eval import renderers
-        from hosnerf_tpu.models.state import state_index
-        trans = (jnp.asarray(ds.transitions) if ds.transitions is not None
-                 else None)
-
-        @jax.jit
-        def render_fn(p, b):
-            s_idx = state_index(b["time"], trans) if "time" in b else 0
-            return model.apply({"params": p}, b, 10**7, s_idx,
-                               is_train=False)["rgb"]
-
         def factory(mode, **kw):
             return HumanDataset(datadir, mode=mode,
                                 bgcolor=[255.0, 255.0, 255.0], **kw)
 
+        lp_metric = _make_lpips_metric(lp_model, lp_params)
         if args.run_mode == "eval":
-            out = renderers.full_human_eval(render_fn, params, factory,
-                                            logdir,
-                                            transitions=ds.transitions)
+            out = renderers.full_human_eval(
+                render_fn, params, factory, logdir,
+                transitions=ds.transitions, lpips_metric=lp_metric,
+                tpose_resolution=1024)  # ref 2nd tpose.py:29 renders 1024^2
         else:  # render: freeview orbit video only
             out = renderers.render_freeview(
                 render_fn, params, factory(mode="freeview"), logdir)
@@ -279,11 +349,16 @@ def run_hosnerf(args) -> None:
         num_prop_samples=int(gin.get("MipNeRF360.num_prop_samples", 64)),
         num_nerf_samples=int(gin.get("MipNeRF360.num_nerf_samples", 32)))
 
+    # batches sharded over the data mesh, same as stages 1/2
+    # (SURVEY.md §2.6: effective batch = N frames x 2 patches across ranks)
+    from hosnerf_tpu.parallel import mesh as pmesh
+    mesh = pmesh.make_mesh()
+
     def make_batch(i=None):
         idx = (np.random.randint(len(ds)) if i is None else i)
         item = ds[idx]
-        return {k: jnp.asarray(v) for k, v in item.items()
-                if k != "frame_name"}
+        return pmesh.shard_batch(
+            {k: v for k, v in item.items() if k != "frame_name"}, mesh)
 
     example = make_batch(0)
     params, opt_state, scene_model, human_model, opt = stage3.init_state(
@@ -297,33 +372,53 @@ def run_hosnerf(args) -> None:
         imported = ck.import_scene_params(args.bkgd_path)
         params["scene"] = ck.overlay_params(params["scene"], imported)
 
+    start_step, loop_rng = 0, jax.random.key(args.seed + 1)
+    if args.resume_training or args.ckpt_path:
+        params, opt_state, start_step, loop_rng = ck.restore_train_state(
+            os.path.join(logdir, "ckpt"), args.ckpt_path or "last",
+            params, opt_state, loop_rng)
+
     step_fn = jax.jit(stage3.make_train_step(
         cfg, scene_model, human_model, opt, ds.transitions))
 
     def wrapped_step(params, opt_state, batch, step, rng):
         return step_fn(params, opt_state, None, batch, step, rng)
 
+    from hosnerf_tpu.eval import renderers
+    from hosnerf_tpu.models.state import state_index
+    trans = (jnp.asarray(ds.transitions) if ds.transitions is not None
+             else None)
+
+    @jax.jit
+    def render_fn(p, b):
+        s_idx = (state_index(b["time"], trans) if "time" in b
+                 else jnp.int32(0))
+        comp, _ = stage3.composed_forward(
+            cfg, scene_model, human_model, p, b, 10**7, s_idx)
+        return comp["rgb"]
+
     if args.run_mode == "train":
+        prog_ds = HumanDataset(datadir, mode="progress",
+                               use_scaleworld=True, seed=args.seed)
+        lp_model, lp_params = _load_lpips(args, cfg.patch_size)
+        lp_metric = _make_lpips_metric(lp_model, lp_params)
+
+        def progress_fn(carry, step):
+            return renderers.evaluate_human(
+                render_fn, carry[0], prog_ds, logdir,
+                f"prog_{step:06d}", lpips_metric=lp_metric, max_items=4,
+                extra_keys=("newsmpl_to_scale_world",))
+
         loop.run_training(
             num_steps=max_steps, sample_batch=make_batch,
             step_fn=wrapped_step, init_carry=(params, opt_state),
             logdir=logdir,
             rays_per_step=cfg.n_patches * cfg.patch_size**2,
-            rng=jax.random.key(args.seed + 1))
+            rng=loop_rng, start_step=start_step,
+            progress_fn=progress_fn,
+            progress_every=int(cfg_yaml.get("progress", {}).get(
+                "dump_interval", 5000)))
     else:
-        from hosnerf_tpu.eval import renderers
-        from hosnerf_tpu.models.state import state_index
-        trans = (jnp.asarray(ds.transitions) if ds.transitions is not None
-                 else None)
-
-        @jax.jit
-        def render_fn(p, b):
-            s_idx = (state_index(b["time"], trans) if "time" in b
-                     else jnp.int32(0))
-            comp, _ = stage3.composed_forward(
-                cfg, scene_model, human_model, p, b, 10**7, s_idx)
-            return comp["rgb"]
-
         def factory(mode, **kw):
             return HumanDataset(datadir, mode=mode, use_scaleworld=True,
                                 bgcolor=[255.0, 255.0, 255.0], **kw)
@@ -336,10 +431,12 @@ def run_hosnerf(args) -> None:
             return human_model.apply({"params": p["human"]}, b, 10**7,
                                      s_idx, is_train=False)["rgb"]
 
+        lp_model, lp_params = _load_lpips(args, cfg.patch_size)
         if args.run_mode == "eval":
             out = renderers.full_human_eval(
                 render_fn, params, factory, logdir,
                 transitions=ds.transitions,
+                lpips_metric=_make_lpips_metric(lp_model, lp_params),
                 extra_keys=("newsmpl_to_scale_world",),
                 tpose_render_fn=tpose_render_fn)
         else:

@@ -194,6 +194,9 @@ def load_nerf_360_v2(datadir: str, scene_name: str, factor: int = 0,
     if len(i_test) >= num_frame:  # tiny datasets: keep at most half as test
         i_test = i_test[::2][: max(num_frame // 2, 1)]
     i_train = np.array([i for i in range(num_frame) if i not in i_test])
+    # the reference's own val split is literally the first two train
+    # frames ("temp for visualize", ref nerf_360_v2.py:447) — preserved,
+    # so ModelCheckpoint(monitor='val/psnr') semantics match it exactly
     i_val = i_train[:2]
     i_all = np.arange(num_frame)
 

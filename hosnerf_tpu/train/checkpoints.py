@@ -20,6 +20,7 @@ import os
 from typing import Any, Dict, Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 
@@ -50,11 +51,18 @@ def restore_checkpoint(ckpt_dir: str, name: str,
 
 class BestLastCheckpointer:
     """Reference semantics: always refresh 'last'; keep the single 'best'
-    by monitored value (val/psnr, higher is better)."""
+    by monitored value (val/psnr, higher is better). The best value
+    persists in a side file so the monitor survives --resume_training
+    (Lightning stores it inside the .ckpt)."""
 
     def __init__(self, ckpt_dir: str):
         self.ckpt_dir = ckpt_dir
+        self._best_path = os.path.join(ckpt_dir, "best_value.json")
         self.best_value = -np.inf
+        if os.path.exists(self._best_path):
+            import json
+            with open(self._best_path) as f:
+                self.best_value = float(json.load(f)["best_value"])
 
     def save_last(self, state: Dict[str, Any]) -> str:
         return save_checkpoint(self.ckpt_dir, "last", state)
@@ -63,8 +71,39 @@ class BestLastCheckpointer:
                         monitored: float) -> Optional[str]:
         if monitored > self.best_value:
             self.best_value = monitored
-            return save_checkpoint(self.ckpt_dir, "best", state)
+            path = save_checkpoint(self.ckpt_dir, "best", state)
+            import json
+            with open(self._best_path, "w") as f:
+                json.dump({"best_value": float(monitored)}, f)
+            return path
         return None
+
+
+# ---------------------------------------------------------------------------
+# Full train-state pack/restore (true resume)
+# ---------------------------------------------------------------------------
+# The reference's Lightning .ckpt carries state_dict + optimizer + loop
+# state (SURVEY.md §5; 1st run.py:158-160 resumes from <logdir>/last.ckpt).
+# The TPU equivalent: {params, opt_state, step, rng} as one Orbax pytree.
+
+def pack_train_state(carry: tuple, step: int, rng) -> Dict[str, Any]:
+    """carry = (params[, opt_state, ...]) -> checkpointable state dict."""
+    state = {"params": carry[0], "step": int(step),
+             "rng": np.asarray(jax.random.key_data(rng))}
+    if len(carry) > 1:
+        state["opt_state"] = carry[1]
+    return state
+
+
+def restore_train_state(ckpt_dir: str, name: str, params, opt_state, rng):
+    """Restore (params, opt_state, step, rng) saved by pack_train_state.
+    The passed-in values provide the pytree structure (and the fallback
+    rng dtype/shape)."""
+    target = pack_train_state((params, opt_state), 0, rng)
+    restored = restore_checkpoint(ckpt_dir, name, target)
+    return (restored["params"], restored["opt_state"],
+            int(restored["step"]),
+            jax.random.wrap_key_data(jnp.asarray(restored["rng"])))
 
 
 # ---------------------------------------------------------------------------
