@@ -8,8 +8,9 @@ a state-conditional dynamic human-object model with inverse-LBS skinning
 
 Layering (bottom-up):
   core/      pure-jnp ray math, step functions, rendering, body/skeleton math
-  ops/       device ops: trilinear grid sampling, fused LBS, sorted merge
-             (XLA implementations + Pallas kernels for the hot paths)
+  ops/       device ops: trilinear grid sampling, fused LBS, sortless merge
+             (XLA-shaped formulations; see ops/pallas for the measured
+             kernel-vs-XLA accounting)
   models/    flax.linen fields: SceneField, HumanObjectField, ComposedField, LPIPS
   data/      CPU-side input pipeline (360-v2 scene loader, per-frame human data)
   train/     pjit train steps per stage, optimizers/schedules, checkpoints

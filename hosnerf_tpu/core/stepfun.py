@@ -3,6 +3,12 @@
 Pure-jnp reimplementation of the reference's CDF/step-function toolkit
 (ref: 1st_State-Conditional_Scene/src/model/mipnerf360/helper.py:92-359).
 
+Provenance: the masked-max/min `searchsorted`/`sorted_interp` formulation
+is the canonical step-function math from Google's multinerf (Apache-2.0),
+which the HOSNeRF reference vendors verbatim; SURVEY.md §7 ordered a 1:1
+mirror of helper.py with golden parity, so the formulas match that lineage
+(the carrier language and batching are JAX-native).
+
 Everything here is static-shape and branch-free so it fuses under XLA; the
 interval search uses the broadcasted-mask formulation (O(n*m) compares on the
 VPU), which beats a serial binary search on TPU for the small sample counts

@@ -3,6 +3,11 @@
 ref: 1st_State-Conditional_Scene/src/data/pose_utils.py. `pose_interp` is
 re-derived via cv2.Rodrigues axis-angle interpolation (identical semantics
 to the reference's hand-rolled R<->axis-angle pair).
+
+Provenance: `transform_poses_pca` / `focus_point_fn` / `viewmatrix` /
+`generate_ellipse_path` implement the canonical camera-path math from
+Google's multinerf (Apache-2.0), which the HOSNeRF reference itself
+vendors verbatim; the numpy statement order here follows that lineage.
 """
 
 from __future__ import annotations

@@ -44,11 +44,15 @@ def small_uniform(bound: float = 1e-5) -> Callable:
 
 class TorchLinear(nn.Module):
     """Dense layer matching torch nn.Linear's default init, with optional
-    kernel init override."""
+    kernel init override.
+
+    `dtype` is the COMPUTATION dtype (params always stored f32): pass
+    jnp.bfloat16 to run the matmul at the MXU's bf16 rate."""
 
     features: int
     kernel_init: Callable | None = None
     bias_init_fan_in: bool = True
+    dtype: "jnp.dtype | None" = None
 
     @nn.compact
     def __call__(self, x):
@@ -56,4 +60,5 @@ class TorchLinear(nn.Module):
         kinit = self.kernel_init or kaiming_uniform()
         binit = (torch_bias_init(fan_in) if self.bias_init_fan_in
                  else nn.initializers.zeros_init())
-        return nn.Dense(self.features, kernel_init=kinit, bias_init=binit)(x)
+        return nn.Dense(self.features, kernel_init=kinit, bias_init=binit,
+                        dtype=self.dtype)(x)

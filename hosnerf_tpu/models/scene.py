@@ -58,6 +58,11 @@ class MipMLP(nn.Module):
     basis_subdivision: int = 2
     disable_rgb: bool = False
     state_embedding_size: int = 64
+    # computation dtype for the MLP trunks (params stay f32). bf16 runs
+    # the big matmuls at the MXU's full rate; the IPE features, the
+    # density/bottleneck/rgb heads, and all compositing stay f32 (the
+    # quality-sensitive parts). None = f32 everywhere.
+    compute_dtype: "jnp.dtype | None" = None
 
     def setup(self):
         self.pos_basis = jnp.asarray(
@@ -77,17 +82,26 @@ class MipMLP(nn.Module):
         x = ray_math.integrated_pos_enc(
             lifted_means, lifted_vars, self.min_deg_point, self.max_deg_point)
 
-        embed = self.state_embeds[state_idx]  # [..., E] or [E]
+        embed = self.state_embeds[state_idx]  # [E] scalar or [N, E] per-ray
+        # per-ray state indices (mixed-time batches from the all_images /
+        # dynamic_batch samplers) get the sample axis inserted; the
+        # reference only supports a scalar `time` per forward
+        while embed.ndim < x.ndim:
+            embed = embed[..., None, :]
         embed = jnp.broadcast_to(embed, x.shape[:-1] + (embed.shape[-1],))
         x = jnp.concatenate([x, embed], axis=-1)
 
+        if self.compute_dtype is not None:
+            x = x.astype(self.compute_dtype)
         inputs = x
         for idx in range(self.netdepth):
-            x = TorchLinear(self.netwidth, name=f"pts_linear_{idx}")(x)
+            x = TorchLinear(self.netwidth, dtype=self.compute_dtype,
+                            name=f"pts_linear_{idx}")(x)
             x = jax.nn.relu(x)
             if idx % self.skip_layer == 0 and idx > 0:
                 x = jnp.concatenate([x, inputs], axis=-1)
 
+        x = x.astype(jnp.float32)
         raw_density = TorchLinear(1, name="density_layer")(x)[..., 0]
         if self.density_noise > 0.0 and randomized:
             raw_density = raw_density + self.density_noise * jax.random.uniform(
@@ -116,13 +130,17 @@ class MipMLP(nn.Module):
             bottleneck.shape[:-1] + (dir_enc.shape[-1],))
         x = jnp.concatenate([bottleneck, dir_enc], axis=-1)
 
+        if self.compute_dtype is not None:
+            x = x.astype(self.compute_dtype)
         inputs = x
         for idx in range(self.netdepth_condition):
-            x = TorchLinear(self.netwidth_condition, name=f"views_linear_{idx}")(x)
+            x = TorchLinear(self.netwidth_condition, dtype=self.compute_dtype,
+                            name=f"views_linear_{idx}")(x)
             x = jax.nn.relu(x)
             if idx % self.skip_layer_dir == 0 and idx > 0:
                 x = jnp.concatenate([x, inputs], axis=-1)
 
+        x = x.astype(jnp.float32)
         x = TorchLinear(self.num_rgb_channels, name="rgb_layer")(x)
         rgb = jax.nn.sigmoid(self.rgb_premultiplier * x + self.rgb_bias)
         rgb = rgb * (1.0 + 2.0 * self.rgb_padding) - self.rgb_padding
@@ -157,6 +175,13 @@ class SceneField(nn.Module):
     # rematerialize MLP activations in backward (1 GB/layer at production
     # batch sizes otherwise); `randomized` (idx 4) is a static python bool
     remat: bool = True
+    # rays per MLP slab — the scene-side analog of the reference's
+    # netchunk/chunk_bkg (3rd.../configs/default.yaml:154, model.py:917):
+    # bounds activation memory for 32+ patch stage-3 batches on one chip.
+    # None = dense single pass. Same params either way (same submodule,
+    # repeated calls); with remat, each slab's activations are freed
+    # before the next.
+    mlp_chunk: Optional[int] = None
 
     def setup(self):
         mlp_cls = (nn.remat(MipMLP, static_argnums=(4,)) if self.remat
@@ -171,6 +196,33 @@ class SceneField(nn.Module):
             num_states=self.num_states, netdepth=self.nerf_netdepth,
             netwidth=self.nerf_netwidth, name="nerf_mlp"))
         self.mlps = mlps
+
+    def _apply_mlp(self, mlp, gaussians, viewdirs, state_idx, randomized,
+                   mlp_rng):
+        """Evaluate `mlp` over `mlp_chunk`-ray slices of the batch (static
+        unrolled loop; dense single pass when mlp_chunk is unset)."""
+        if not self.mlp_chunk:
+            return mlp(gaussians, viewdirs, state_idx, randomized, mlp_rng)
+        means, covs = gaussians
+        n = means.shape[0]
+        c = self.mlp_chunk
+        pad = (-n) % c
+
+        def padr(a):
+            return (jnp.pad(a, ((0, pad),) + ((0, 0),) * (a.ndim - 1))
+                    if pad else a)
+
+        means, covs, viewdirs = padr(means), padr(covs), padr(viewdirs)
+        per_ray_state = (hasattr(state_idx, "ndim") and state_idx.ndim >= 1)
+        if per_ray_state:
+            state_idx = padr(state_idx)
+        outs = []
+        for s in range(0, n + pad, c):
+            s_idx = state_idx[s:s + c] if per_ray_state else state_idx
+            outs.append(mlp((means[s:s + c], covs[s:s + c]),
+                            viewdirs[s:s + c], s_idx, randomized, mlp_rng))
+        out = jax.tree.map(lambda *xs: jnp.concatenate(xs, 0), *outs)
+        return jax.tree.map(lambda o: o[:n], out)
 
     def __call__(self, batch: Dict[str, Any], train_frac: float,
                  randomized: bool, state_idx, near, far,
@@ -251,9 +303,9 @@ class SceneField(nn.Module):
             if randomized and rng is not None:
                 rng, mlp_rng = jax.random.split(rng)
             # positional so nn.remat's static_argnums picks up `randomized`
-            ray_results = self.mlps[i_level](
-                gaussians, batch["viewdirs"], state_idx, randomized,
-                mlp_rng)
+            ray_results = self._apply_mlp(
+                self.mlps[i_level], gaussians, batch["viewdirs"], state_idx,
+                randomized, mlp_rng)
 
             weights = render.compute_alpha_weights(
                 ray_results["density"], tdist, batch["rays_d"],

@@ -4,12 +4,27 @@ TPU-first reformulation of the reference's per-bone python loops
 (ref: 2nd_State_Conditional_Human-Object/core/nets/human_nerf/network.py:
 302-396).
 
+Two formulations, numerically identical (<=4e-7, tests):
+
+* ONE-HOT MATMUL (default): the trilinear volume lookup is factorized as
+  an xy-bilinear one-hot row matrix [N, H*W] (4 weighted taps, built with
+  a lane-iota compare — no gather) matmul'd against the bone's volume
+  [H*W, D], then a 2-tap z interpolation. This moves the lookup onto the
+  MXU; measured 5.8x faster than the gather form at production size
+  (262144 samples x 26 bones x 32^3 volume: 76 ms vs 442 ms on v5e).
+  Each bone's weight computation is `jax.checkpoint`ed so the [N, H*W]
+  one-hot rows are rebuilt in backward instead of saved (26 x 1 GB
+  residuals otherwise).
+
+* GATHER (`*_gather` variants, kept for A/B and CPU tests): 8 corner
+  gathers from the flattened volume per bone.
+
 Layout note (v5e): materializing per-point weights as [N, 26] puts the
 bone axis on the 128-lane dimension and pads 26 -> 128 (4.9x memory blowup,
-observed in XLA memory dumps). The implementation therefore runs a STATIC
-loop over bones with [N]-shaped accumulators — every intermediate is
-(8,128)-tileable with no padding waste — and never materializes the
-[N, B] weight matrix on the backward-critical path.
+observed in XLA memory dumps). Both forms therefore run a STATIC loop over
+bones with [N]-shaped accumulators — every intermediate is (8,128)-tileable
+with no padding waste — and never materialize the [N, B] weight matrix on
+the backward-critical path.
 """
 
 from __future__ import annotations
@@ -68,11 +83,63 @@ def _sample_channel(vol_flat_b: jnp.ndarray, taps) -> jnp.ndarray:
     return out
 
 
+def _onehot_taps(coords: jnp.ndarray, D: int, H: int, W: int):
+    """Factorized trilinear taps: xy-bilinear one-hot rows [N, H*W]
+    (4 weighted taps) + z selection rows [N, D] (2 weighted taps), built
+    with lane-iota compares (no gather). Out-of-bounds taps masked to 0
+    exactly like `_trilinear_taps` (torch grid_sample zeros padding)."""
+    x, y, z = coords[..., 0], coords[..., 1], coords[..., 2]
+    fx = (x + 1.0) * 0.5 * (W - 1)
+    fy = (y + 1.0) * 0.5 * (H - 1)
+    fz = (z + 1.0) * 0.5 * (D - 1)
+    x0, y0, z0 = jnp.floor(fx), jnp.floor(fy), jnp.floor(fz)
+    tx, ty, tz = fx - x0, fy - y0, fz - z0
+
+    n = coords.shape[0]
+    hw_iota = jax.lax.broadcasted_iota(jnp.int32, (1, H * W), 1)
+    onehot_xy = jnp.zeros((n, H * W), coords.dtype)
+    for dx in (0, 1):
+        for dy in (0, 1):
+            cx, cy = x0 + dx, y0 + dy
+            w = jnp.where(dx, tx, 1.0 - tx) * jnp.where(dy, ty, 1.0 - ty)
+            valid = ((cx >= 0) & (cx <= W - 1) & (cy >= 0) & (cy <= H - 1))
+            idx = (jnp.clip(cy, 0, H - 1).astype(jnp.int32) * W
+                   + jnp.clip(cx, 0, W - 1).astype(jnp.int32))
+            onehot_xy = onehot_xy + (w * valid)[:, None] * (
+                idx[:, None] == hw_iota)
+
+    d_iota = jax.lax.broadcasted_iota(jnp.int32, (1, D), 1)
+    zsel = jnp.zeros((n, D), coords.dtype)
+    for dz in (0, 1):
+        cz = z0 + dz
+        w = jnp.where(dz, tz, 1.0 - tz)
+        valid = (cz >= 0) & (cz <= D - 1)
+        iz = jnp.clip(cz, 0, D - 1).astype(jnp.int32)
+        zsel = zsel + (w * valid)[:, None] * (iz[:, None] == d_iota)
+    return onehot_xy, zsel
+
+
+@functools.partial(jax.checkpoint, static_argnums=())
+def _bone_weight_onehot(pos_b, vol_b_hw_d, cnl_bbox_min_xyz,
+                        cnl_bbox_scale_xyz):
+    """Trilinear motion weight of ONE bone at [N, 3] observation points,
+    via the MXU one-hot matmul. vol_b_hw_d: [H*W, D]. Rematerialized in
+    backward (the [N, H*W] rows are cheap to rebuild, expensive to keep)."""
+    D = vol_b_hw_d.shape[-1]
+    HW = vol_b_hw_d.shape[0]
+    # infer H == W == G for the cubic volumes used here
+    coords = normalize_coords(pos_b, cnl_bbox_min_xyz, cnl_bbox_scale_xyz)
+    G = int(round(HW ** 0.5))
+    onehot_xy, zsel = _onehot_taps(coords, D, G, G)
+    zcols = jnp.matmul(onehot_xy, vol_b_hw_d, precision=_PREC)  # [N, D]
+    return jnp.sum(zcols * zsel, axis=-1)
+
+
 def inverse_lbs(pts: jnp.ndarray, motion_scale_Rs: jnp.ndarray,
                 motion_Ts: jnp.ndarray, motion_weights_vol: jnp.ndarray,
                 cnl_bbox_min_xyz: jnp.ndarray,
                 cnl_bbox_scale_xyz: jnp.ndarray):
-    """Warp observation points to canonical space.
+    """Warp observation points to canonical space (one-hot-matmul form).
 
     pts [N, 3]; motion_scale_Rs [B, 3, 3]; motion_Ts [B, 3];
     motion_weights_vol [B+1, D, H, W] (bg channel dropped, network.py:314).
@@ -80,12 +147,41 @@ def inverse_lbs(pts: jnp.ndarray, motion_scale_Rs: jnp.ndarray,
     """
     B = motion_weights_vol.shape[0] - 1
     D, H, W = motion_weights_vol.shape[1:]
-    vol_flat = motion_weights_vol.reshape(B + 1, -1)
+    assert H == W, "one-hot LBS assumes square xy slices; use *_gather"
+    # channel b as [H*W, D]: xy flattened on the contraction axis
+    vol_hw_d = motion_weights_vol[:B].reshape(B, D, H * W).transpose(0, 2, 1)
 
     wsum = jnp.zeros(pts.shape[0], pts.dtype)
     acc = jnp.zeros_like(pts)
     weights = []
     for b in range(B):  # static loop: [N]-shaped ops only; no [B, N, 3]
+        pos_b = jnp.matmul(pts, motion_scale_Rs[b].T,
+                           precision=_PREC) + motion_Ts[b]
+        w_b = _bone_weight_onehot(pos_b, vol_hw_d[b], cnl_bbox_min_xyz,
+                                  cnl_bbox_scale_xyz)
+        weights.append(w_b)
+        wsum = wsum + w_b
+        acc = acc + w_b[:, None] * pos_b
+
+    x_skel = acc / jnp.maximum(wsum, 1e-4)[:, None]
+    return x_skel, wsum[:, None], jnp.stack(weights, 0)
+
+
+def inverse_lbs_gather(pts: jnp.ndarray, motion_scale_Rs: jnp.ndarray,
+                       motion_Ts: jnp.ndarray,
+                       motion_weights_vol: jnp.ndarray,
+                       cnl_bbox_min_xyz: jnp.ndarray,
+                       cnl_bbox_scale_xyz: jnp.ndarray):
+    """Gather-form inverse LBS (8 corner gathers per bone); kept for A/B
+    and non-square volumes."""
+    B = motion_weights_vol.shape[0] - 1
+    D, H, W = motion_weights_vol.shape[1:]
+    vol_flat = motion_weights_vol.reshape(B + 1, -1)
+
+    wsum = jnp.zeros(pts.shape[0], pts.dtype)
+    acc = jnp.zeros_like(pts)
+    weights = []
+    for b in range(B):
         # giant intermediate (1.6 GB at 4M points in XLA dumps)
         pos_b = jnp.matmul(pts, motion_scale_Rs[b].T,
                            precision=_PREC) + motion_Ts[b]
@@ -101,16 +197,60 @@ def inverse_lbs(pts: jnp.ndarray, motion_scale_Rs: jnp.ndarray,
     return x_skel, wsum[:, None], jnp.stack(weights, 0)
 
 
+@functools.partial(jax.checkpoint, static_argnums=())
+def _all_bone_weights_onehot(cnl_pts, vol_hw_d, cnl_bbox_min_xyz,
+                             cnl_bbox_scale_xyz):
+    """Weights of ALL bones at the SAME canonical points (forward LBS
+    samples every channel at one position): one one-hot build, B matmuls.
+    vol_hw_d [B, H*W, D] -> [B, N]."""
+    D = vol_hw_d.shape[-1]
+    G = int(round(vol_hw_d.shape[1] ** 0.5))
+    coords = normalize_coords(cnl_pts, cnl_bbox_min_xyz, cnl_bbox_scale_xyz)
+    onehot_xy, zsel = _onehot_taps(coords, D, G, G)
+    ws = []
+    for b in range(vol_hw_d.shape[0]):
+        zcols = jnp.matmul(onehot_xy, vol_hw_d[b], precision=_PREC)
+        ws.append(jnp.sum(zcols * zsel, axis=-1))
+    return jnp.stack(ws, 0)
+
+
 def forward_lbs(cnl_pts: jnp.ndarray, motion_scale_Rs_fwd: jnp.ndarray,
                 motion_Ts_fwd: jnp.ndarray, motion_weights_vol: jnp.ndarray,
                 cnl_bbox_min_xyz: jnp.ndarray,
                 cnl_bbox_scale_xyz: jnp.ndarray):
-    """Warp canonical points to observation space (cycle/flow branches).
+    """Warp canonical points to observation space (cycle/flow branches),
+    one-hot-matmul form.
 
     Weights sampled ONCE at the canonical position for all channels.
     Returns x_deform [N, 3], fg_likelihood_fwd [N, 1].
     ref: network.py:355-396.
     """
+    B = motion_weights_vol.shape[0] - 1
+    D, H, W = motion_weights_vol.shape[1:]
+    assert H == W, "one-hot LBS assumes square xy slices; use *_gather"
+    vol_hw_d = motion_weights_vol[:B].reshape(B, D, H * W).transpose(0, 2, 1)
+    weights = _all_bone_weights_onehot(cnl_pts, vol_hw_d, cnl_bbox_min_xyz,
+                                       cnl_bbox_scale_xyz)  # [B, N]
+
+    wsum = jnp.zeros(cnl_pts.shape[0], cnl_pts.dtype)
+    acc = jnp.zeros_like(cnl_pts)
+    for b in range(B):
+        pos_b = jnp.matmul(cnl_pts, motion_scale_Rs_fwd[b].T,
+                           precision=_PREC) + motion_Ts_fwd[b]
+        wsum = wsum + weights[b]
+        acc = acc + weights[b][:, None] * pos_b
+
+    x_deform = acc / jnp.maximum(wsum, 1e-4)[:, None]
+    return x_deform, wsum[:, None]
+
+
+def forward_lbs_gather(cnl_pts: jnp.ndarray,
+                       motion_scale_Rs_fwd: jnp.ndarray,
+                       motion_Ts_fwd: jnp.ndarray,
+                       motion_weights_vol: jnp.ndarray,
+                       cnl_bbox_min_xyz: jnp.ndarray,
+                       cnl_bbox_scale_xyz: jnp.ndarray):
+    """Gather-form forward LBS (kept for A/B and non-square volumes)."""
     B = motion_weights_vol.shape[0] - 1
     D, H, W = motion_weights_vol.shape[1:]
     vol_flat = motion_weights_vol.reshape(B + 1, -1)

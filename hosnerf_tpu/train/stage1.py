@@ -48,6 +48,8 @@ class Stage1Config:
     num_levels: int = 3
     nerf_netwidth: int = 1024
     prop_netwidth: int = 256
+    # rays per scene-MLP slab (netchunk analog; None = dense)
+    mlp_chunk: "int | None" = None
 
 
 def make_model(cfg: Stage1Config) -> scene.SceneField:
@@ -58,6 +60,7 @@ def make_model(cfg: Stage1Config) -> scene.SceneField:
         num_levels=cfg.num_levels,
         nerf_netwidth=cfg.nerf_netwidth,
         prop_netwidth=cfg.prop_netwidth,
+        mlp_chunk=cfg.mlp_chunk,
     )
 
 

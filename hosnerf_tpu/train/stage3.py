@@ -48,6 +48,9 @@ class Stage3Config:
     total_bones: int = 26
     perturb: float = 1.0
     mlp_chunk: "int | None" = None  # chunked human-MLP evaluation
+    # rays per scene-MLP slab (the chunk_bkg analog inside jit,
+    # ref 3rd default.yaml:154; None = dense)
+    scene_mlp_chunk: "int | None" = None
     near_bkg: float = 0.1  # ref: 3rd gin LitDataHumanObject.near_bkg
     far_bkg: float = 1e6
     # scene model (opaque background in stage 3; ref: Backpack.gin)
@@ -73,7 +76,8 @@ def make_models(cfg: Stage3Config):
         num_states=cfg.num_states, num_prop_samples=cfg.num_prop_samples,
         num_nerf_samples=cfg.num_nerf_samples,
         nerf_netwidth=cfg.nerf_netwidth, prop_netwidth=cfg.prop_netwidth,
-        opaque_background=cfg.opaque_background)
+        opaque_background=cfg.opaque_background,
+        mlp_chunk=cfg.scene_mlp_chunk)
     return scene, human
 
 

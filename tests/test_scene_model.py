@@ -118,3 +118,47 @@ def test_eval_step_deterministic(tiny_setup):
     a = ev(params, batch)
     b = ev(params, batch)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+def test_scene_mlp_chunked_matches_dense(tiny_setup):
+    """SceneField mlp_chunk (the netchunk/chunk_bkg analog, KNOWN_GAPS r1
+    #4) is numerically identical to the dense pass, values and grads."""
+    cfg, batch, params, _, model = tiny_setup
+    dense_r, dense_h = model.apply({"params": params}, batch, 0.5, False,
+                                   jnp.int32(0), cfg.near, cfg.far)
+    chunked = stage1.make_model(cfg).clone(mlp_chunk=24)  # non-divisor of 64
+    chunk_r, chunk_h = chunked.apply({"params": params}, batch, 0.5, False,
+                                     jnp.int32(0), cfg.near, cfg.far)
+    np.testing.assert_allclose(np.asarray(chunk_r[-1]["rgb"]),
+                               np.asarray(dense_r[-1]["rgb"]), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(chunk_h[-1]["density"]),
+                               np.asarray(dense_h[-1]["density"]),
+                               rtol=1e-6, atol=1e-6)
+
+    def loss(p, m):
+        r, _ = m.apply({"params": p}, batch, 0.5, False, jnp.int32(0),
+                       cfg.near, cfg.far)
+        return jnp.mean((r[-1]["rgb"] - batch["target"]) ** 2)
+
+    g1 = jax.grad(loss)(params, model)
+    g2 = jax.grad(loss)(params, chunked)
+    d = jax.tree.reduce(max, jax.tree.map(
+        lambda a, b: float(jnp.abs(a - b).max()), g1, g2))
+    assert d < 1e-5, d
+
+
+def test_scene_mlp_chunked_per_ray_states(tiny_setup):
+    """Chunking must also slice per-ray state indices (stage-1 training
+    batches carry one time per ray)."""
+    cfg, batch, params, _, model = tiny_setup
+    trans = jnp.array([0.5])
+    cfg2 = stage1.Stage1Config(**{**cfg.__dict__, "num_states": 2})
+    params2, _, model2 = stage1.init_state(cfg2, jax.random.key(1), batch)
+    s_idx = state_index(jnp.asarray(batch["times"]), trans)
+    dense_r, _ = model2.apply({"params": params2}, batch, 0.5, False,
+                              s_idx, cfg.near, cfg.far)
+    chunked = stage1.make_model(cfg2).clone(mlp_chunk=24)
+    chunk_r, _ = chunked.apply({"params": params2}, batch, 0.5, False,
+                               s_idx, cfg.near, cfg.far)
+    np.testing.assert_allclose(np.asarray(chunk_r[-1]["rgb"]),
+                               np.asarray(dense_r[-1]["rgb"]), atol=1e-6)
