@@ -2,20 +2,32 @@
 — the BASELINE.json headline metric ("rays/sec/chip in stage-3 training").
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...extras}
 
 Run config: production model sizes (3-level scene stack 64/64/32 samples,
 8x1024 NeRF MLP; human 128 samples/ray, 8x256 canonical MLP, full LBS +
 non-rigid + cycle + flow branches, joint Adam with per-group LRs), at the
 reference's per-rank batch: 2 patches x 32^2 = 2048 rays/step
-(ref 3rd_Complete_HOSNeRF/configs/default.yaml:142-147). Larger batches
-scale further (8 patches measured 1.1-1.8M rays/s/chip) but are less
-robust through the tunneled dev chip; see git history.
+(ref 3rd_Complete_HOSNeRF/configs/default.yaml:84,142-154).
 
-The reference never measured throughput (BASELINE.md). `vs_baseline`
-divides by a documented generous estimate of the torch stage-3 step:
-REF_RAYS_PER_SEC_PER_GPU below (2048 rays in ~0.2 s/step on an A100-class
-GPU). The BASELINE.json north star is >=5x reference-GPU rays/sec/chip.
+Measurement protocol (honest-by-construction; see utils/benchtools.py
+for the two relay pathologies that shaped it):
+  * EVERY timed execution has distinct device inputs (per-step rng key +
+    iteration scalar) — no replay tier can serve a repeated result.
+  * Each step consumes the previous step's loss (0*loss folded into the
+    iteration scalar), so the chain is sequentially dependent on device
+    and no lazy-execution engine can skip or reorder steps.
+  * The END of the chain is fetched to the host; `block_until_ready`
+    through the axon relay acks before execution and is never trusted.
+    Linearity of chain time in K was verified (688 ms/step, K=1..40).
+  * FLOPs tripwire: the step's model FLOPs (XLA cost analysis, fallback
+    analytic) must imply <= the chip's bf16 peak; a super-peak number is
+    a measurement artifact and the benchmark FAILS rather than reports.
+
+`vs_baseline`: the reference never measured throughput (BASELINE.md).
+The divisor is a documented, generous ESTIMATE of the torch stage-3 step
+on an A100-class GPU (2048 rays in ~0.2 s/step). The BASELINE.json north
+star is >=5x reference-GPU rays/sec/chip.
 """
 
 import json
@@ -26,18 +38,30 @@ import jax.numpy as jnp
 
 from hosnerf_tpu.data import synthetic
 from hosnerf_tpu.train import stage3
+from hosnerf_tpu.utils.benchtools import force_value
 
-REF_RAYS_PER_SEC_PER_GPU = 10_000.0
+REF_RAYS_PER_SEC_PER_GPU = 10_000.0  # documented estimate, see docstring
 
 N_PATCHES = 2  # the reference production batch per rank
 RAYS = N_PATCHES * 32 * 32
-WARMUP = 5
-ITERS = 30
-# NOTE: steps are dispatched one-by-one from a 1-core host through the
-# axon tunnel, so this UNDERSTATES device throughput when step time drops
-# below dispatch latency (a lax.scan-fused variant measured up to ~1.8M
-# rays/s/chip but intermittently faulted the tunneled device; keeping the
-# robust form for the unattended driver run).
+WARMUP = 3
+ITERS = 20
+
+# Chip peaks for the tripwire / MFU line. v5e: 197 TFLOPS bf16.
+BF16_PEAK_TFLOPS = 197.0
+
+
+def analytic_flops_per_step(cfg) -> float:
+    """Fallback model-FLOP estimate (fwd matmuls, x4 for bwd + remat
+    re-forward), counting only the dominant MLP/LBS matmuls."""
+    rays = cfg.n_patches * cfg.patch_size ** 2
+    prop = 2 * rays * 64 * (4 * 256 * 256 + 2 * 256 * 80) * 2
+    nerf = rays * 32 * (8 * 1024 * 1024 + 2 * 1024 * 80) * 2
+    hsamp = rays * cfg.n_samples
+    cnl = hsamp * (8 * 256 * 256 + 256 * 135) * 2
+    nr = 2 * hsamp * (6 * 128 * 128 + 128 * 200) * 2
+    lbs = 3 * hsamp * 26 * (4 * 32 * 32) * 2
+    return 4.0 * (prop + nerf + cnl + nr + lbs)
 
 
 def main():
@@ -46,43 +70,78 @@ def main():
              synthetic.composed_batch(N_PATCHES, 32, grid_size=32).items()}
     params, opt_state, scene_model, human_model, opt = stage3.init_state(
         cfg, jax.random.key(0), batch)
-    step = jax.jit(stage3.make_train_step(cfg, scene_model, human_model,
-                                          opt))
-    # NOTE: steps are timed with a FIXED carry (params not threaded through
-    # the loop): each call still runs the complete fwd+bwd+optimizer
-    # program, but dependent-carry chains through the axon tunnel
-    # intermittently fall off the device-residency fast path (~9 s/step of
-    # host<->device param traffic), which would measure the tunnel, not
-    # the chip.
-    rng = jax.random.key(1)
-    step0 = jnp.float32(100.0)
-    for _ in range(WARMUP):
-        out = step(params, opt_state, None, batch, step0, rng)
-        jax.block_until_ready(out[2]["loss"])  # see note below: never queue
+    raw_step = stage3.make_train_step(cfg, scene_model, human_model, opt)
 
-    # block every step: queueing many in-flight executions through the
-    # tunnel intermittently degrades to seconds/step (buffer-deletion
-    # backpressure); per-step sync adds ~1-2 ms but is stable
+    def chained_step(ps, os_, b, prev_loss, iter_f, rng):
+        # 0*prev_loss makes each step depend on the previous one ON
+        # DEVICE without changing the math — the chain cannot be
+        # skipped, reordered, or replayed.
+        it = iter_f + 0.0 * prev_loss
+        new_p, _, losses = raw_step(ps, os_, None, b, it, rng)
+        # The probe consumes EVERY updated parameter: without it XLA
+        # dead-code-eliminates the backward pass + optimizer (verified:
+        # 94 ms "steps" vs 330 ms real) since only the loss is returned.
+        probe = sum(jnp.sum(leaf) for leaf in jax.tree.leaves(new_p))
+        return losses["loss"] + 0.0 * probe
+
+    step = jax.jit(chained_step)
+    keys = [jax.random.fold_in(jax.random.key(1), i)
+            for i in range(WARMUP + ITERS)]
+    jax.block_until_ready(keys[-1])
+
+    loss = jnp.float32(0.0)
+    for i in range(WARMUP):
+        loss = step(params, opt_state, batch, loss,
+                    jnp.float32(100.0 + i), keys[i])
+    lv = force_value(loss)
+
     t0 = time.perf_counter()
-    for _ in range(ITERS):
-        out = step(params, opt_state, None, batch, step0, rng)
-        jax.block_until_ready(out[2]["loss"])
+    for i in range(WARMUP, WARMUP + ITERS):
+        loss = step(params, opt_state, batch, loss,
+                    jnp.float32(100.0 + i), keys[i])
+    lv = force_value(loss)
     dt = time.perf_counter() - t0
+    sec_per_step = dt / ITERS
 
-    # loss check AFTER timing: running ANY other program (even a tiny
-    # jnp.isfinite) between executions knocks the tunneled device off its
-    # loaded-program fast path — every later step then costs a constant
-    # ~2.3 s reload. Observed and bisected on this axon setup.
-    assert bool(jnp.isfinite(out[2]["loss"])), "non-finite training loss"
+    import math
+    assert math.isfinite(lv), "non-finite training loss"
+
+    flops = None
+    try:
+        cost = step.lower(params, opt_state, batch, loss,
+                          jnp.float32(100.0), keys[0]).compile(
+                              ).cost_analysis()
+        if cost:
+            c = cost[0] if isinstance(cost, (list, tuple)) else cost
+            flops = float(c.get("flops", 0.0)) or None
+    except Exception:
+        flops = None
+    flops_src = "xla_cost_analysis"
+    if not flops:
+        flops, flops_src = analytic_flops_per_step(cfg), "analytic"
+
+    implied_tflops = flops / sec_per_step / 1e12
+    mfu = implied_tflops / BF16_PEAK_TFLOPS
+    # Tripwire: throughput implying super-peak sustained FLOPS is a
+    # measurement artifact (replay/deferred execution) — refuse it.
+    assert implied_tflops <= BF16_PEAK_TFLOPS * 1.05, (
+        f"implied {implied_tflops:.0f} TFLOPS exceeds chip peak "
+        f"{BF16_PEAK_TFLOPS} — measurement artifact, refusing to report")
 
     n_chips = len(jax.devices())
-    rays_per_sec_per_chip = RAYS * ITERS / dt / n_chips
+    rays_per_sec_per_chip = RAYS / sec_per_step / n_chips
     print(json.dumps({
         "metric": "stage3_train_rays_per_sec_per_chip",
         "value": round(float(rays_per_sec_per_chip), 1),
         "unit": "rays/s/chip",
         "vs_baseline": round(
             float(rays_per_sec_per_chip / REF_RAYS_PER_SEC_PER_GPU), 3),
+        "sec_per_step": round(sec_per_step, 5),
+        "model_tflops_per_step": round(flops / 1e12, 4),
+        "flops_source": flops_src,
+        "implied_tflops": round(implied_tflops, 2),
+        "mfu_vs_bf16_peak": round(mfu, 4),
+        "baseline_is_estimate": True,
     }))
 
 

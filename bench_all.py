@@ -13,16 +13,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-
-def timeit(step, args, iters=10, warmup=2):
-    for _ in range(warmup):
-        out = step(*args)
-    jax.block_until_ready(jax.tree.leaves(out)[0])
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = step(*args)
-    jax.block_until_ready(jax.tree.leaves(out)[0])
-    return (time.perf_counter() - t0) / iters
+from hosnerf_tpu.utils.benchtools import timeit_chain
 
 
 def bench_stage1():
@@ -35,12 +26,9 @@ def bench_stage1():
                                                  batch)
     opt = stage1.make_optimizer(cfg)
     step = jax.jit(stage1.make_train_step(cfg, model, opt))
-    rng = jax.random.key(1)
-
-    def run(p, o):
-        return step(p, o, batch, jnp.float32(1000), rng)
-
-    dt = timeit(lambda: run(params, opt_state), (), iters=10)
+    args = [(params, opt_state, batch, jnp.int32(1000 + i),
+             jax.random.fold_in(jax.random.key(1), i)) for i in range(12)]
+    dt = timeit_chain(step, args, iters=10)
     return {"stage": 1, "rays": 4096, "sec_per_step": dt,
             "rays_per_sec": 4096 / dt}
 
@@ -54,9 +42,9 @@ def bench_stage2():
     params, opt_state, model, opt = stage2.init_state(
         cfg, jax.random.key(0), batch)
     step = jax.jit(stage2.make_train_step(cfg, model, opt))
-    rng = jax.random.key(1)
-    dt = timeit(lambda: step(params, opt_state, None, batch,
-                             jnp.float32(1000), rng), (), iters=10)
+    args = [(params, opt_state, None, batch, jnp.float32(1000 + i),
+             jax.random.fold_in(jax.random.key(1), i)) for i in range(12)]
+    dt = timeit_chain(step, args, iters=10)
     rays = 2 * 32 * 32
     return {"stage": 2, "rays": rays, "sec_per_step": dt,
             "rays_per_sec": rays / dt}
@@ -72,9 +60,9 @@ def bench_stage3():
         cfg, jax.random.key(0), batch)
     step = jax.jit(stage3.make_train_step(cfg, scene_model, human_model,
                                           opt))
-    rng = jax.random.key(1)
-    dt = timeit(lambda: step(params, opt_state, None, batch,
-                             jnp.float32(1000), rng), (), iters=10)
+    args = [(params, opt_state, None, batch, jnp.float32(1000 + i),
+             jax.random.fold_in(jax.random.key(1), i)) for i in range(12)]
+    dt = timeit_chain(step, args, iters=10)
     rays = 2 * 32 * 32
     return {"stage": 3, "rays": rays, "sec_per_step": dt,
             "rays_per_sec": rays / dt}

@@ -74,6 +74,9 @@ class HumanObjectField(nn.Module):
     # ref: network.py:115 / configs default netchunk_per_gpu). None =
     # single dense pass (fastest; use for batches that fit).
     mlp_chunk: Optional[int] = None
+    # LBS implementation: 'auto' (fused Pallas kernels on TPU, XLA
+    # one-hot matmul elsewhere), 'pallas', 'xla', or 'gather'
+    lbs_impl: str = "auto"
 
     def setup(self):
         self.pose_decoder = BodyPoseRefiner(
@@ -204,9 +207,10 @@ class HumanObjectField(nn.Module):
 
         # ---- inverse LBS to canonical space ----
         from hosnerf_tpu.ops import lbs as lbs_ops
-        x_skel, fg_mask, _ = lbs_ops.inverse_lbs(
+        x_skel, fg_mask = lbs_ops.inverse_warp(
             pts_flat, m_sR, m_T, motion_weights_vol,
-            batch["cnl_bbox_min_xyz"], batch["cnl_bbox_scale_xyz"])
+            batch["cnl_bbox_min_xyz"], batch["cnl_bbox_scale_xyz"],
+            impl=self.lbs_impl)
         pts_mask = fg_mask.reshape(R, S, 1)
 
         # ---- non-rigid offset + canonical MLP ----
@@ -227,9 +231,16 @@ class HumanObjectField(nn.Module):
         # ---- cycle-consistency branch (ref: network.py:503-535), computed
         # for ALL samples with a mask instead of boolean gathering ----
         if is_train:
-            deform_pts, _ = lbs_ops.forward_lbs(
-                cnl_pts, m_sR_fwd, m_T_fwd, motion_weights_vol,
-                batch["cnl_bbox_min_xyz"], batch["cnl_bbox_scale_xyz"])
+            # Both forward branches (cycle + prev-frame flow) sample the
+            # weight volume at the SAME canonical points — compute the
+            # all-bone weights once and blend two transform sets
+            # (vs the reference's two full _sample_motion_fields_forward
+            # passes, network.py:472-535; identical math).
+            fwd_weights = lbs_ops.bone_weights(
+                cnl_pts, motion_weights_vol, batch["cnl_bbox_min_xyz"],
+                batch["cnl_bbox_scale_xyz"], impl=self.lbs_impl)
+            deform_pts, _ = lbs_ops.apply_forward_lbs(
+                fwd_weights, cnl_pts, m_sR_fwd, m_T_fwd)
             if not self.ignore_non_rigid_motions:
                 fw_embed = embedders.hannw_fourier_embed(
                     deform_pts, self.nr_multires, alpha)
@@ -255,9 +266,8 @@ class HumanObjectField(nn.Module):
                 batch["dst_posevec_prev"][None,
                                           :self.nr_condition_code_size],
                 iter_val)
-            deform_prev, _ = lbs_ops.forward_lbs(
-                cnl_pts, p_sR_fwd, p_T_fwd, motion_weights_vol,
-                batch["cnl_bbox_min_xyz"], batch["cnl_bbox_scale_xyz"])
+            deform_prev, _ = lbs_ops.apply_forward_lbs(
+                fwd_weights, cnl_pts, p_sR_fwd, p_T_fwd)
             if not self.ignore_non_rigid_motions:
                 fwp_embed = embedders.hannw_fourier_embed(
                     deform_prev, self.nr_multires, alpha)

@@ -10,11 +10,15 @@ Two formulations, numerically identical (<=4e-7, tests):
   an xy-bilinear one-hot row matrix [N, H*W] (4 weighted taps, built with
   a lane-iota compare — no gather) matmul'd against the bone's volume
   [H*W, D], then a 2-tap z interpolation. This moves the lookup onto the
-  MXU; measured 5.8x faster than the gather form at production size
-  (262144 samples x 26 bones x 32^3 volume: 76 ms vs 442 ms on v5e).
+  MXU. Fetch-forced v5e timing at production size (262144 samples x 26
+  bones x 32^3): forward 92 ms / grad 152 ms, vs the gather form's
+  466 / 416 ms — 5.0x / 2.7x. (Round-1 recorded 76 vs 442 ms; those were
+  deferred-execution artifacts of the relay — see utils/benchtools.py.)
   Each bone's weight computation is `jax.checkpoint`ed so the [N, H*W]
   one-hot rows are rebuilt in backward instead of saved (26 x 1 GB
-  residuals otherwise).
+  residuals otherwise). XLA still materializes the one-hot rows in HBM
+  (~80% of the runtime is that traffic); ops/pallas/lbs.py builds them
+  in VMEM instead and is the production TPU path.
 
 * GATHER (`*_gather` variants, kept for A/B and CPU tests): 8 corner
   gathers from the flattened volume per bone.
@@ -267,5 +271,89 @@ def forward_lbs_gather(cnl_pts: jnp.ndarray,
         wsum = wsum + w_b
         acc = acc + w_b[:, None] * pos_b
 
+    x_deform = acc / jnp.maximum(wsum, 1e-4)[:, None]
+    return x_deform, wsum[:, None]
+
+
+# ---------------------------------------------------------------------------
+# implementation dispatch (XLA forms above; fused Pallas kernels on TPU)
+# ---------------------------------------------------------------------------
+
+
+def resolve_impl(impl: str, motion_weights_vol) -> str:
+    """'auto' -> 'pallas' on TPU for cubic volumes, else 'xla'."""
+    if impl != "auto":
+        return impl
+    D, H, W = motion_weights_vol.shape[1:]
+    if D == H == W and jax.default_backend() == "tpu":
+        return "pallas"
+    return "xla"
+
+
+def inverse_warp(pts, motion_scale_Rs, motion_Ts, motion_weights_vol,
+                 cnl_bbox_min_xyz, cnl_bbox_scale_xyz, impl: str = "auto"):
+    """Inverse LBS returning (x_skel [N,3], fg_likelihood_mask [N,1]).
+
+    The per-bone weights output of `inverse_lbs` is dropped — no caller
+    uses it (ref network.py:302-353 keeps it only for its own weighted
+    sum). impl: 'pallas' (fused kernel, bf16 taps), 'xla' (one-hot
+    matmul), 'gather', or 'auto'.
+    """
+    impl = resolve_impl(impl, motion_weights_vol)
+    if impl == "pallas":
+        from hosnerf_tpu.ops.pallas import lbs as plbs
+        return plbs.inverse_lbs(pts, motion_scale_Rs, motion_Ts,
+                                motion_weights_vol, cnl_bbox_min_xyz,
+                                cnl_bbox_scale_xyz)
+    fn = inverse_lbs if impl == "xla" else inverse_lbs_gather
+    x_skel, fg, _ = fn(pts, motion_scale_Rs, motion_Ts,
+                       motion_weights_vol, cnl_bbox_min_xyz,
+                       cnl_bbox_scale_xyz)
+    return x_skel, fg
+
+
+def bone_weights(pts, motion_weights_vol, cnl_bbox_min_xyz,
+                 cnl_bbox_scale_xyz, impl: str = "auto") -> jnp.ndarray:
+    """All-bone trilinear weights at shared points -> [N, B].
+
+    The forward-LBS sampling pattern (ref network.py:355-396): every
+    weight channel sampled at the same canonical point. Computing this
+    ONCE and applying different bone transforms (`apply_forward_lbs`)
+    serves both the cycle and prev-frame flow branches, which the
+    reference evaluates as two full `_sample_motion_fields_forward`
+    passes over identical points (network.py:472-535).
+    """
+    impl = resolve_impl(impl, motion_weights_vol)
+    if impl == "pallas":
+        from hosnerf_tpu.ops.pallas import lbs as plbs
+        return plbs.bone_weights(pts, motion_weights_vol,
+                                 cnl_bbox_min_xyz, cnl_bbox_scale_xyz)
+    B = motion_weights_vol.shape[0] - 1
+    D, H, W = motion_weights_vol.shape[1:]
+    if impl == "xla" and H == W:
+        vol_hw_d = motion_weights_vol[:B].reshape(
+            B, D, H * W).transpose(0, 2, 1)
+        return _all_bone_weights_onehot(pts, vol_hw_d, cnl_bbox_min_xyz,
+                                        cnl_bbox_scale_xyz).T
+    vol_flat = motion_weights_vol.reshape(B + 1, -1)
+    coords = normalize_coords(pts, cnl_bbox_min_xyz, cnl_bbox_scale_xyz)
+    taps = _trilinear_taps(coords, D, H, W)
+    return jnp.stack([_sample_channel(vol_flat[b], taps)
+                      for b in range(B)], axis=1)
+
+
+def apply_forward_lbs(weights: jnp.ndarray, pts: jnp.ndarray,
+                      motion_scale_Rs_fwd: jnp.ndarray,
+                      motion_Ts_fwd: jnp.ndarray):
+    """Blend per-bone forward transforms with precomputed weights.
+
+    weights [N,B] from `bone_weights`; returns (x_deform [N,3],
+    wsum [N,1]) — identical math to `forward_lbs` given the same
+    weights (ref network.py:374-396).
+    """
+    wsum = jnp.sum(weights, axis=1)
+    acc = (jnp.einsum("nb,bij,nj->ni", weights, motion_scale_Rs_fwd, pts,
+                      precision=_PREC)
+           + jnp.matmul(weights, motion_Ts_fwd, precision=_PREC))
     x_deform = acc / jnp.maximum(wsum, 1e-4)[:, None]
     return x_deform, wsum[:, None]

@@ -60,6 +60,8 @@ class Stage2Config:
     cnl_mlp_width: int = 256
     nr_mlp_width: int = 128
     mweight_volume_size: int = 32
+    # LBS implementation: 'auto' = fused Pallas kernels on TPU
+    lbs_impl: str = "auto"
 
 
 def make_model(cfg: Stage2Config) -> HumanObjectField:
@@ -68,7 +70,7 @@ def make_model(cfg: Stage2Config) -> HumanObjectField:
         num_states=cfg.num_states, cnl_mlp_width=cfg.cnl_mlp_width,
         nr_mlp_width=cfg.nr_mlp_width,
         mweight_volume_size=cfg.mweight_volume_size,
-        mlp_chunk=cfg.mlp_chunk)
+        mlp_chunk=cfg.mlp_chunk, lbs_impl=cfg.lbs_impl)
 
 
 # --------------------------------------------------------------------------

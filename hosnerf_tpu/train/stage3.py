@@ -59,6 +59,8 @@ class Stage3Config:
     cnl_mlp_width: int = 256
     nr_mlp_width: int = 128
     mweight_volume_size: int = 32
+    # LBS implementation: 'auto' = fused Pallas kernels on TPU
+    lbs_impl: str = "auto"
     num_prop_samples: int = 64
     num_nerf_samples: int = 32
     nerf_netwidth: int = 1024
@@ -71,7 +73,7 @@ def make_models(cfg: Stage3Config):
         num_states=cfg.num_states, cnl_mlp_width=cfg.cnl_mlp_width,
         nr_mlp_width=cfg.nr_mlp_width,
         mweight_volume_size=cfg.mweight_volume_size,
-        mlp_chunk=cfg.mlp_chunk)
+        mlp_chunk=cfg.mlp_chunk, lbs_impl=cfg.lbs_impl)
     scene = scene_mod.SceneField(
         num_states=cfg.num_states, num_prop_samples=cfg.num_prop_samples,
         num_nerf_samples=cfg.num_nerf_samples,
