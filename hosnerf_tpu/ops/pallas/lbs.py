@@ -76,84 +76,55 @@ def _mm(a, b, prec: str, dims=None):
         preferred_element_type=jnp.float32)
 
 
-def _build_dt(prec: str):
-    """Dtype of the [T, G*G]-shaped tap builds.
+def _xy_iotas_f(T: int, G: int):
+    """Hoisted per-tile [T, G*G] x/y coordinate grids in f32.
 
     Measured dead end (v5e, kept for the record): building the taps in
-    bf16 to halve the VPU time fails in Mosaic — bf16 AND int16 compares
-    are both unsupported ("Target does not support this comparison"),
-    and a 32-bit compare mask can't relayout onto 16-bit select operands
-    ("Invalid relayout ... i1 32-bit -> 16-bit"). So the builds stay
-    f32/int32 and only the matmul operands are cast to bf16 (in `_mm`).
+    bf16/int16 to halve VPU time fails in Mosaic — bf16 AND int16
+    compares are both unsupported ("Target does not support this
+    comparison") and a 32-bit i1 mask can't relayout onto 16-bit select
+    operands. Builds stay f32; only matmul operands are cast to bf16
+    (in `_mm`). G is a power of two in every shipped config — shifts and
+    masks, not div/mod (integer division on the VPU measured 4x slower
+    end-to-end).
     """
-    del prec
-    return jnp.float32
-
-
-def _idx_dt(dt):
-    """Integer dtype of the tap compares (must match the select operand
-    lane width — see `_build_dt`)."""
-    del dt
-    return jnp.int32
-
-
-def _xy_iotas(T: int, G: int, dt):
-    """Hoisted per-tile [T, G*G] x/y coordinate grids (integer — the tap
-    compares run on integers; only the selected VALUES take dtype `dt`).
-
-    G is a power of two in every shipped config (32) — use shifts/masks;
-    integer div/mod on the VPU is expensive.
-    """
-    it = _idx_dt(dt)
-    # 16-bit iota is unsupported in hardware: generate i32, then narrow
     iq = jax.lax.broadcasted_iota(jnp.int32, (T, G * G), 1)
     if G & (G - 1) == 0:
         sh = G.bit_length() - 1
-        return (iq & (G - 1)).astype(it), (iq >> sh).astype(it)
-    return jnp.remainder(iq, G).astype(it), (iq // G).astype(it)
+        return ((iq & (G - 1)).astype(jnp.float32),
+                (iq >> sh).astype(jnp.float32))
+    return (jnp.remainder(iq, G).astype(jnp.float32),
+            (iq // G).astype(jnp.float32))
 
 
-def _g_iota(T: int, G: int, dt):
+def _g_iota_f(T: int, G: int):
     return jax.lax.broadcasted_iota(jnp.int32, (T, G), 1).astype(
-        _idx_dt(dt))
+        jnp.float32)
 
 
-def _floor_frac(f, G: int, dt):
-    """Integer floor + fractional part of [T,1] f32 grid coords.
-
-    The floor is clamped to [-4, G+3] (fully out-of-grid either way, all
-    taps zero) so the integer conversion can't overflow; the fraction is
-    cast to the build dtype `dt`.
-    """
-    f0 = jnp.floor(f)
-    t = f - f0
-    return (jnp.clip(f0, -4.0, G + 3.0).astype(_idx_dt(dt)), t.astype(dt))
+def _hat(f, iota):
+    """Linear-interpolation tap weights as the hat function
+    max(0, 1 - |f - i|): identical values to the floor/offset tap build
+    (including zeros padding — out-of-grid taps just don't exist on the
+    iota) in 4 VPU ops instead of 6, with no floor.
+    f [T,1] f32 grid coords; iota [T,Q] f32 grid lines."""
+    return jnp.maximum(0.0, 1.0 - jnp.abs(f - iota))
 
 
-def _taps_1d(f0, t, iota):
-    """Tap weights of linear interpolation on an integer grid.
-
-    f0 [T,1] int32 clamped floor; t [T,1] fraction in the build dtype;
-    iota [T, Q] int32 grid-line coordinates. Returns [T, Q] rows (dtype
-    of t) with (1-t) at floor(f) and t at floor(f)+1 — taps outside the
-    grid simply don't appear (zeros padding). Integer compares: bf16
-    compares are unsupported on the VPU, int compares are full-rate.
-    """
-    d = iota - f0  # tap offset of each grid line, int32
-    one = jnp.ones((), t.dtype)
-    zero = jnp.zeros((), t.dtype)
-    return (jnp.where(d == 0, one - t, zero)
-            + jnp.where(d == 1, t, zero))
+def _clipped_floor(f, G: int):
+    """floor clamped to [-4, G+3] — out-of-grid either way (all taps
+    zero), keeps later equality compares exact."""
+    return jnp.clip(jnp.floor(f), -4.0, G + 3.0)
 
 
-def _dtaps_1d(f0, iota, dt):
-    """d(_taps_1d)/df — exactly the gather-form gradient: -1 at floor(f),
-    +1 at floor(f)+1, with out-of-grid taps absent."""
+def _dhat(f0, iota):
+    """d(hat)/df with the reference's floor-based semantics: -1 at
+    floor(f), +1 at floor(f)+1 (NOT the hat's sign kink — at exactly
+    integer f the gather form assigns -1/+1 to the two taps, which the
+    hat's |.| derivative would miss). f0 = `_clipped_floor(f)`."""
     d = iota - f0
-    one = jnp.ones((), dt)
-    zero = jnp.zeros((), dt)
-    return (jnp.where(d == 1, one, zero)
-            - jnp.where(d == 0, one, zero))
+    return (jnp.where(d == 1.0, 1.0, 0.0)
+            - jnp.where(d == 0.0, 1.0, 0.0))
 
 
 # ---------------------------------------------------------------------------
@@ -173,9 +144,8 @@ def _inverse_fwd_kernel(pts_ref, rg_ref, tg_ref, vol_ref, out_ref,
     y = pts_ref[:, 1:2]
     z = pts_ref[:, 2:3]
     T = x.shape[0]
-    dt = _build_dt(prec)
-    xq, yq = _xy_iotas(T, G, dt)
-    ig = _g_iota(T, G, dt)
+    xq, yq = _xy_iotas_f(T, G)
+    ig = _g_iota_f(T, G)
 
     def body(b, acc):
         fx = rg_ref[b, 0] * x + rg_ref[b, 1] * y + rg_ref[b, 2] * z \
@@ -185,11 +155,10 @@ def _inverse_fwd_kernel(pts_ref, rg_ref, tg_ref, vol_ref, out_ref,
         fz = rg_ref[b, 6] * x + rg_ref[b, 7] * y + rg_ref[b, 8] * z \
             + tg_ref[b, 2]
         # [T, G*G] bilinear one-hot rows, built in VMEM
-        onehot = _taps_1d(*_floor_frac(fx, G, dt), xq) \
-            * _taps_1d(*_floor_frac(fy, G, dt), yq)
+        onehot = _hat(fx, xq) * _hat(fy, yq)
         zcols = _mm(onehot, vol_ref[b], prec)          # [T, G] f32
-        tz = _taps_1d(*_floor_frac(fz, G, dt), ig).astype(jnp.float32)
-        w_b = jnp.sum(tz * zcols, axis=1, keepdims=True)   # [T, 1]
+        w_b = jnp.sum(_hat(fz, ig) * zcols, axis=1,
+                      keepdims=True)                    # [T, 1]
         return acc + w_b * jnp.concatenate([fx, fy, fz,
                                             jnp.ones_like(fx)], axis=1)
 
@@ -197,14 +166,17 @@ def _inverse_fwd_kernel(pts_ref, rg_ref, tg_ref, vol_ref, out_ref,
                                       jnp.zeros((T, 4), jnp.float32))
 
 
-def _inverse_bwd_kernel(pts_ref, rg_ref, tg_ref, vol_ref, gacc_ref,
+def _inverse_bwd_kernel(pts_ref, rg_ref, tg_ref, volt_ref, gacc_ref,
                         dpts_ref, drgt_ref, dtg_ref, dvol_ref,
                         *, B: int, G: int, prec: str):
     """Backward of `_inverse_fwd_kernel` by recomputation.
 
     Grid = (tiles, bones): program (i, b) handles one tile x one bone
     (bones vary fastest, so the pts/gacc blocks stay resident across the
-    inner sweep). gacc_ref [T,4] = (d/d accx, accy, accz, wsum).
+    inner sweep). volt_ref [B, G(z), G*G] is the TRANSPOSED volume
+    layout: the z-interpolated slab V = tz @ volT [T, G*G] serves w_b,
+    dfx and dfy at once (one matmul instead of three zcols-style ones).
+    gacc_ref [T,4] = (d/d accx, accy, accz, wsum).
     Outputs (all accumulated across sequential programs):
       dpts [T,3] per tile; drgt [B,3,3] = dRg TRANSPOSED (row j holds
       sum_t p_j * df); dtg [B,1,3]; dvol [B,G*G,G].
@@ -229,9 +201,8 @@ def _inverse_bwd_kernel(pts_ref, rg_ref, tg_ref, vol_ref, gacc_ref,
     y = pts_ref[:, 1:2]
     z = pts_ref[:, 2:3]
     T = x.shape[0]
-    dt = _build_dt(prec)
-    xq, yq = _xy_iotas(T, G, dt)
-    ig = _g_iota(T, G, dt)
+    xq, yq = _xy_iotas_f(T, G)
+    ig = _g_iota_f(T, G)
 
     gx = gacc_ref[:, 0:1]
     gy = gacc_ref[:, 1:2]
@@ -244,33 +215,30 @@ def _inverse_bwd_kernel(pts_ref, rg_ref, tg_ref, vol_ref, gacc_ref,
         + tg_ref[b, 1]
     fz = rg_ref[b, 6] * x + rg_ref[b, 7] * y + rg_ref[b, 8] * z \
         + tg_ref[b, 2]
-    x0x, ttx = _floor_frac(fx, G, dt)
-    x0y, tty = _floor_frac(fy, G, dt)
-    x0z, ttz = _floor_frac(fz, G, dt)
-    tx = _taps_1d(x0x, ttx, xq)
-    ty = _taps_1d(x0y, tty, yq)
-    tzf = _taps_1d(x0z, ttz, ig).astype(jnp.float32)
-    onehot = tx * ty
-    zcols = _mm(onehot, vol_ref[b], prec)               # [T, G] f32
-    w_b = jnp.sum(tzf * zcols, axis=1, keepdims=True)
+    tx = _hat(fx, xq)
+    ty = _hat(fy, yq)
+    tz = _hat(fz, ig)                                    # [T, G]
+    onehot = tx * ty                                     # [T, G*G]
+
+    # V = z-interpolated slab; Vdz = its z-derivative (2 small-K matmuls)
+    V = _mm(tz, volt_ref[b], prec)                       # [T, G*G]
+    Vdz = _mm(_dhat(_clipped_floor(fz, G), ig), volt_ref[b], prec)
+
+    w_b = jnp.sum(onehot * V, axis=1, keepdims=True)
 
     # acc = sum_b w_b * (fx, fy, fz, 1)
-    gw = gx * fx + gy * fy + gz * fz + gw_sum           # dL/dw_b [T,1]
+    gw = gx * fx + gy * fy + gz * fz + gw_sum            # dL/dw_b [T,1]
 
-    # dvol_b += onehot^T @ (gw * tz)   [T,Q] x [T,G] -> [Q,G]
+    # dvol_b[q, z] += sum_t onehot[t,q] * gw[t] * tz[t,z]
     dims_t = (((0,), (0,)), ((), ()))
-    dvol_ref[b, :, :] += _mm(onehot, gw * tzf, prec, dims=dims_t)
+    dvol_ref[b, :, :] += _mm(onehot * gw, tz, prec, dims=dims_t)
 
-    # dw/dfx = sum_z tz * ((dtx*ty) @ vol); dfy symmetric;
-    # dw/dfz = sum_z dtz * zcols (reuses zcols)
-    dzx = _mm(_dtaps_1d(x0x, xq, dt) * ty, vol_ref[b], prec)
-    dzy = _mm(tx * _dtaps_1d(x0y, yq, dt), vol_ref[b], prec)
-    dfx = gx * w_b + gw * jnp.sum(tzf * dzx, axis=1, keepdims=True)
-    dfy = gy * w_b + gw * jnp.sum(tzf * dzy, axis=1, keepdims=True)
-    dfz = gz * w_b + gw * jnp.sum(
-        _dtaps_1d(x0z, ig, dt).astype(jnp.float32) * zcols,
-        axis=1, keepdims=True)
-    df = jnp.concatenate([dfx, dfy, dfz], axis=1)       # [T, 3]
+    dfx = gx * w_b + gw * jnp.sum(
+        _dhat(_clipped_floor(fx, G), xq) * ty * V, axis=1, keepdims=True)
+    dfy = gy * w_b + gw * jnp.sum(
+        tx * _dhat(_clipped_floor(fy, G), yq) * V, axis=1, keepdims=True)
+    dfz = gz * w_b + gw * jnp.sum(onehot * Vdz, axis=1, keepdims=True)
+    df = jnp.concatenate([dfx, dfy, dfz], axis=1)        # [T, 3]
 
     # chain through the bone affine: dpts += df @ Rg_b
     dpts_ref[:, :] += jnp.concatenate(
@@ -339,7 +307,9 @@ def _inverse_bwd(prec, res, gacc):
     B, QQ, G = vol_qz.shape
     pts_p, n = _pad_rows(pts_g.astype(jnp.float32), TILE)
     gacc_p, _ = _pad_rows(gacc.astype(jnp.float32), TILE)
-    vol = vol_qz.astype(jnp.bfloat16 if prec == "bf16" else jnp.float32)
+    # transposed layout [B, G(z), G*G] for the V-trick (see kernel doc)
+    volt = jnp.swapaxes(vol_qz, 1, 2).astype(
+        jnp.bfloat16 if prec == "bf16" else jnp.float32)
     grid = (pts_p.shape[0] // TILE, B)  # bones vary fastest
     kern = functools.partial(_inverse_bwd_kernel, B=B, G=G, prec=prec)
     dpts, drgt, dtg, dvol = pl.pallas_call(
@@ -352,7 +322,7 @@ def _inverse_bwd(prec, res, gacc):
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((B, 3), lambda i, b: (0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((B, G * G, G), lambda i, b: (0, 0, 0),
+            pl.BlockSpec((B, G, G * G), lambda i, b: (0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((TILE, 4), lambda i, b: (i, 0),
                          memory_space=pltpu.VMEM),
@@ -376,7 +346,7 @@ def _inverse_bwd(prec, res, gacc):
         interpret=_interpret(),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 2**20),
-    )(pts_p, rg.astype(jnp.float32), tg.astype(jnp.float32), vol, gacc_p)
+    )(pts_p, rg.astype(jnp.float32), tg.astype(jnp.float32), volt, gacc_p)
     drg = jnp.swapaxes(drgt, 1, 2)  # the kernel stores dRg transposed
     return (dpts[:n].astype(pts_g.dtype),
             drg.reshape(B, 9).astype(rg.dtype),
@@ -403,18 +373,14 @@ def _shared_fwd_kernel(pts_ref, vol_ref, sum_ref, out_ref,
     fy = pts_ref[:, 1:2]
     fz = pts_ref[:, 2:3]
     T = fx.shape[0]
-    dt = _build_dt(prec)
-    xq, yq = _xy_iotas(T, G, dt)
+    xq, yq = _xy_iotas_f(T, G)
     ic = jax.lax.broadcasted_iota(jnp.int32, (T, B * G), 1)
     zc = ((ic & (G - 1)) if G & (G - 1) == 0
-          else jnp.remainder(ic, G)).astype(_idx_dt(dt))
+          else jnp.remainder(ic, G)).astype(jnp.float32)
 
-    onehot = _taps_1d(*_floor_frac(fx, G, dt), xq) \
-        * _taps_1d(*_floor_frac(fy, G, dt), yq)          # [T, G*G]
+    onehot = _hat(fx, xq) * _hat(fy, yq)                 # [T, G*G]
     zcols = _mm(onehot, vol_ref[:, :], prec)             # [T, B*G] f32
-    ztap = _taps_1d(*_floor_frac(fz, G, dt), zc)         # [T, B*G]
-    out_ref[:, :] = _mm(zcols * ztap.astype(jnp.float32),
-                        sum_ref[:, :], prec)
+    out_ref[:, :] = _mm(zcols * _hat(fz, zc), sum_ref[:, :], prec)
 
 
 def _shared_bwd_kernel(pts_ref, vol_ref, exp_ref, gw_ref,
@@ -433,23 +399,19 @@ def _shared_bwd_kernel(pts_ref, vol_ref, exp_ref, gw_ref,
     fy = pts_ref[:, 1:2]
     fz = pts_ref[:, 2:3]
     T = fx.shape[0]
-    dt = _build_dt(prec)
-    xq, yq = _xy_iotas(T, G, dt)
+    xq, yq = _xy_iotas_f(T, G)
     ic = jax.lax.broadcasted_iota(jnp.int32, (T, B * G), 1)
     zc = ((ic & (G - 1)) if G & (G - 1) == 0
-          else jnp.remainder(ic, G)).astype(_idx_dt(dt))
+          else jnp.remainder(ic, G)).astype(jnp.float32)
 
-    x0x, ttx = _floor_frac(fx, G, dt)
-    x0y, tty = _floor_frac(fy, G, dt)
-    x0z, ttz = _floor_frac(fz, G, dt)
-    tx = _taps_1d(x0x, ttx, xq)
-    ty = _taps_1d(x0y, tty, yq)
+    tx = _hat(fx, xq)
+    ty = _hat(fy, yq)
     onehot = tx * ty
-    ztap = _taps_1d(x0z, ttz, zc)
+    ztap = _hat(fz, zc)
     zcols = _mm(onehot, vol_ref[:, :], prec)            # [T, B*G] f32
 
     gw_exp = _mm(gw_ref[:, :], exp_ref[:, :], prec)     # [T, B*G] f32
-    dzcols = gw_exp * ztap.astype(jnp.float32)
+    dzcols = gw_exp * ztap
     dims_t = (((0,), (0,)), ((), ()))
     # dvol += onehot^T @ dzcols  [G*G, B*G]
     dvol_ref[:, :] += _mm(onehot, dzcols, prec, dims=dims_t)
@@ -457,12 +419,12 @@ def _shared_bwd_kernel(pts_ref, vol_ref, exp_ref, gw_ref,
     # U[t,q] = sum_c dzcols[t,c] * vol[q,c]
     dims_c = (((1,), (1,)), ((), ()))
     U = _mm(dzcols, vol_ref[:, :], prec, dims=dims_c)   # [T, G*G] f32
-    dfx = jnp.sum((_dtaps_1d(x0x, xq, dt) * ty).astype(jnp.float32) * U,
+    dfx = jnp.sum(_dhat(_clipped_floor(fx, G), xq) * ty * U,
                   axis=1, keepdims=True)
-    dfy = jnp.sum((tx * _dtaps_1d(x0y, yq, dt)).astype(jnp.float32) * U,
+    dfy = jnp.sum(tx * _dhat(_clipped_floor(fy, G), yq) * U,
                   axis=1, keepdims=True)
-    dfz = jnp.sum(gw_exp * _dtaps_1d(x0z, zc, dt).astype(jnp.float32)
-                  * zcols, axis=1, keepdims=True)
+    dfz = jnp.sum(gw_exp * _dhat(_clipped_floor(fz, G), zc) * zcols,
+                  axis=1, keepdims=True)
     dpts_ref[:, :] = jnp.concatenate([dfx, dfy, dfz], axis=1)
 
 

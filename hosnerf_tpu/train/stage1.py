@@ -50,6 +50,9 @@ class Stage1Config:
     prop_netwidth: int = 256
     # rays per scene-MLP slab (netchunk analog; None = dense)
     mlp_chunk: "int | None" = None
+    # rematerialize MLP activations in backward (needed only for large
+    # batches; ~1.45x step time at the 4096-ray production batch)
+    remat: bool = False
 
 
 def make_model(cfg: Stage1Config) -> scene.SceneField:
@@ -61,6 +64,7 @@ def make_model(cfg: Stage1Config) -> scene.SceneField:
         nerf_netwidth=cfg.nerf_netwidth,
         prop_netwidth=cfg.prop_netwidth,
         mlp_chunk=cfg.mlp_chunk,
+        remat=cfg.remat,
     )
 
 

@@ -62,6 +62,9 @@ class Stage2Config:
     mweight_volume_size: int = 32
     # LBS implementation: 'auto' = fused Pallas kernels on TPU
     lbs_impl: str = "auto"
+    # rematerialize MLP activations in backward (needed only for large
+    # batches; measured ~1.2-1.5x step overhead at the 2-patch batch)
+    remat: bool = False
 
 
 def make_model(cfg: Stage2Config) -> HumanObjectField:
@@ -70,7 +73,8 @@ def make_model(cfg: Stage2Config) -> HumanObjectField:
         num_states=cfg.num_states, cnl_mlp_width=cfg.cnl_mlp_width,
         nr_mlp_width=cfg.nr_mlp_width,
         mweight_volume_size=cfg.mweight_volume_size,
-        mlp_chunk=cfg.mlp_chunk, lbs_impl=cfg.lbs_impl)
+        mlp_chunk=cfg.mlp_chunk, lbs_impl=cfg.lbs_impl,
+        remat=cfg.remat)
 
 
 # --------------------------------------------------------------------------

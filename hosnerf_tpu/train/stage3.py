@@ -61,6 +61,9 @@ class Stage3Config:
     mweight_volume_size: int = 32
     # LBS implementation: 'auto' = fused Pallas kernels on TPU
     lbs_impl: str = "auto"
+    # rematerialize MLP activations in backward (needed only for large
+    # batches; measured ~1.2-1.5x step overhead at the 2-patch batch)
+    remat: bool = False
     num_prop_samples: int = 64
     num_nerf_samples: int = 32
     nerf_netwidth: int = 1024
@@ -73,13 +76,14 @@ def make_models(cfg: Stage3Config):
         num_states=cfg.num_states, cnl_mlp_width=cfg.cnl_mlp_width,
         nr_mlp_width=cfg.nr_mlp_width,
         mweight_volume_size=cfg.mweight_volume_size,
-        mlp_chunk=cfg.mlp_chunk, lbs_impl=cfg.lbs_impl)
+        mlp_chunk=cfg.mlp_chunk, lbs_impl=cfg.lbs_impl,
+        remat=cfg.remat)
     scene = scene_mod.SceneField(
         num_states=cfg.num_states, num_prop_samples=cfg.num_prop_samples,
         num_nerf_samples=cfg.num_nerf_samples,
         nerf_netwidth=cfg.nerf_netwidth, prop_netwidth=cfg.prop_netwidth,
         opaque_background=cfg.opaque_background,
-        mlp_chunk=cfg.scene_mlp_chunk)
+        mlp_chunk=cfg.scene_mlp_chunk, remat=cfg.remat)
     return scene, human
 
 
