@@ -35,6 +35,17 @@ every operand f32 with HIGHEST matmuls (parity mode, matches the XLA
 path to ~1e-6); `precision="bf16"` casts the one-hot rows and volume to
 bf16 for single-pass MXU issue with f32 accumulation (~2^-9 relative
 error on weights; the production default).
+
+Measured dead end (v5e, kept for the record): per-(tile, bone) support
+skipping — predicate `coord range intersects [-1, G]` guarding the tap
+build + matmul with `lax.cond`/`pl.when`. The skip itself works (50/50
+in/out points: fwd 37->28 ms, grad 145->91 ms) but never fires on real
+ray batches: samples arrive ray-ordered, so a 512-sample tile is ~4 full
+near->far rays whose per-bone grid-coord span averages ~48 units against
+a 32-unit grid — 99.9% of (tile, bone) pairs intersect the volume. All-in
+overhead is ~2% on the kernels and ~5% on the train step, so it was
+reverted. It would pay only after a sample-reordering pass (e.g. Morton
+order), which costs more than it saves at these sizes.
 """
 
 from __future__ import annotations
