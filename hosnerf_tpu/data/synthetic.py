@@ -112,11 +112,17 @@ def write_mini_dataset(path: str, n_frames: int = 8, res: int = 48,
     os.makedirs(os.path.join(path, "masks"), exist_ok=True)
     os.makedirs(os.path.join(path, "images_flow"), exist_ok=True)
 
-    # --- skeleton: 24 SMPL joints in a rough standing pose ---
+    # --- skeleton: 24 SMPL joints in a rough standing pose. The x/z
+    # spread must roughly match the painted subject blob's world extent
+    # (~0.5 units at the orbit radius): with a near-degenerate "stick"
+    # skeleton, rays through most subject pixels miss every bone volume,
+    # the fg-likelihood mask is ~0, and stage-2 training has no gradient
+    # path to the images (measured: loss flat to 5 decimal places even
+    # at 100x LR) ---
     joints = np.zeros((24, 3), np.float32)
     joints[:, 1] = np.linspace(-0.8, 0.6, 24)
-    joints[:, 0] = rng.normal(scale=0.05, size=24)
-    joints[:, 2] = rng.normal(scale=0.05, size=24)
+    joints[:, 0] = rng.normal(scale=0.25, size=24)
+    joints[:, 2] = rng.normal(scale=0.25, size=24)
 
     with open(os.path.join(path, "canonical_joints.pkl"), "wb") as f:
         pickle.dump({"joints": joints}, f)
@@ -128,13 +134,40 @@ def write_mini_dataset(path: str, n_frames: int = 8, res: int = 48,
     mesh_infos, cameras = {}, {}
     poses_bounds = np.zeros((n_frames, 17), np.float64)
     frame_names = [f"frame_{i:06d}" for i in range(n_frames)]
+    from hosnerf_tpu.data.cameras import get_camrot
+    parents24 = np.array(
+        [0, 0, 0, 0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 9, 9, 12, 13, 14, 16,
+         17, 18, 19, 20, 21])
     for i, fn in enumerate(frame_names):
-        # image: colored gradient + a bright "person" blob; mask = blob
+        # camera orbiting the subject
+        th = 2 * np.pi * i / n_frames * 0.2
+        campos = np.array([2.5 * np.sin(th), 0.0, -2.5 * np.cos(th)])
+        Rm = get_camrot(campos.astype(np.float32),
+                        np.zeros(3, np.float32)).astype(np.float64)
+        E = np.eye(4)
+        E[:3, :3] = Rm
+        E[:3, 3] = -Rm @ campos
+
+        # image: colored gradient background + a solid-color subject
+        # painted ALONG THE PROJECTED SKELETON, so subject pixels are
+        # exactly where rays pass near bone volumes and the human model
+        # can actually fit the data (a centered blob unrelated to the
+        # skeleton gives a no-gradient loss floor — see the joints
+        # comment above); mask = painted subject
         yy, xx = np.mgrid[0:res, 0:res]
         img = np.stack([xx / res, yy / res, np.full_like(xx, 0.5,
                                                          dtype=float)], -1)
-        cx, cy = res // 2 + i, res // 2
-        blob = ((xx - cx) ** 2 + (yy - cy) ** 2) < (res // 5) ** 2
+        blob = np.zeros((res, res), bool)
+        rad = max(2, res // 14)
+        for j in range(24):
+            for t in np.linspace(0.0, 1.0, 6):
+                p3 = joints[j] * (1 - t) + joints[parents24[j]] * t
+                cam = Rm @ p3 + E[:3, 3]
+                if cam[2] <= 1e-3:
+                    continue
+                pix = K @ (cam / cam[2])
+                cx, cy = int(round(pix[0])), int(round(pix[1]))
+                blob |= ((xx - cx) ** 2 + (yy - cy) ** 2) < rad ** 2
         img[blob] = [0.9, 0.3, 0.2]
         cv2.imwrite(os.path.join(path, "images", fn + ".png"),
                     cv2.cvtColor((img * 255).astype(np.uint8),
@@ -145,16 +178,6 @@ def write_mini_dataset(path: str, n_frames: int = 8, res: int = 48,
                  flow=rng.normal(scale=0.5, size=(res, res, 2)).astype(
                      np.float32),
                  mask=np.ones((res, res), bool))
-
-        # camera orbiting the subject
-        th = 2 * np.pi * i / n_frames * 0.2
-        campos = np.array([2.5 * np.sin(th), 0.0, -2.5 * np.cos(th)])
-        from hosnerf_tpu.data.cameras import get_camrot
-        Rm = get_camrot(campos.astype(np.float32),
-                        np.zeros(3, np.float32)).astype(np.float64)
-        E = np.eye(4)
-        E[:3, :3] = Rm
-        E[:3, 3] = -Rm @ campos
         cameras[fn] = {
             "intrinsics": K.astype(np.float32),
             "smpl_to_camera": E.astype(np.float32),

@@ -35,6 +35,7 @@ from hosnerf_tpu.models.human_components import (BodyPoseRefiner,
                                                  CanonicalMLP,
                                                  MotionWeightVolumeDecoder,
                                                  NonRigidMLP)
+from hosnerf_tpu.models.layers import resolve_compute_dtype
 
 _PREC = jax.lax.Precision.HIGHEST
 
@@ -77,6 +78,10 @@ class HumanObjectField(nn.Module):
     # LBS implementation: 'auto' (fused Pallas kernels on TPU, XLA
     # one-hot matmul elsewhere), 'pallas', 'xla', or 'gather'
     lbs_impl: str = "auto"
+    # MLP-trunk computation dtype ('bf16' or None=f32) for the canonical
+    # and non-rigid MLPs; params, output heads, LBS and compositing stay
+    # f32 either way
+    compute_dtype: Optional[str] = None
 
     def setup(self):
         self.pose_decoder = BodyPoseRefiner(
@@ -88,15 +93,17 @@ class HumanObjectField(nn.Module):
             total_bones=self.total_bones, name="mweight_vol_decoder")
         nr_cls = nn.remat(NonRigidMLP) if self.remat else NonRigidMLP
         cnl_cls = nn.remat(CanonicalMLP) if self.remat else CanonicalMLP
+        cdt = resolve_compute_dtype(self.compute_dtype)
         self.non_rigid_mlp = nr_cls(
             mlp_depth=self.nr_mlp_depth, mlp_width=self.nr_mlp_width,
-            skips=self.nr_skips, name="non_rigid_mlp")
+            skips=self.nr_skips, compute_dtype=cdt, name="non_rigid_mlp")
         self.non_rigid_forward_mlp = nr_cls(
             mlp_depth=self.nr_mlp_depth, mlp_width=self.nr_mlp_width,
-            skips=self.nr_skips, name="non_rigid_forward_mlp")
+            skips=self.nr_skips, compute_dtype=cdt,
+            name="non_rigid_forward_mlp")
         self.cnl_mlp = cnl_cls(
             mlp_depth=self.cnl_mlp_depth, mlp_width=self.cnl_mlp_width,
-            name="cnl_mlp")
+            compute_dtype=cdt, name="cnl_mlp")
         # ref: network.py:83-85 (`human_stateembeds`)
         self.state_embeds = self.param(
             "state_embeds", nn.initializers.normal(stddev=1.0),

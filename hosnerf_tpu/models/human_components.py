@@ -27,6 +27,8 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
+from typing import Optional
+
 from hosnerf_tpu.models.layers import (TorchLinear, small_uniform,
                                        xavier_uniform_gain)
 
@@ -44,18 +46,24 @@ class CanonicalMLP(nn.Module):
     mlp_depth: int = 8
     mlp_width: int = 256
     skips: Sequence[int] = (4,)
+    # trunk computation dtype (params stay f32); the rgb+sigma output
+    # layer always runs f32
+    compute_dtype: "Optional[jnp.dtype]" = None
 
     @nn.compact
     def __call__(self, pos_embed):
+        if self.compute_dtype is not None:
+            pos_embed = pos_embed.astype(self.compute_dtype)
         h = pos_embed
         for i in range(self.mlp_depth):
             if i > 0 and (i - 1) in self.skips:
                 h = jnp.concatenate([pos_embed, h], axis=-1)
             h = TorchLinear(self.mlp_width,
                             kernel_init=xavier_uniform_gain(RELU_GAIN),
-                            bias_init_fan_in=False,
+                            bias_init_fan_in=False, dtype=self.compute_dtype,
                             name=f"linear_{i}")(h)
             h = jax.nn.relu(h)
+        h = h.astype(jnp.float32)
         return TorchLinear(4, kernel_init=xavier_uniform_gain(1.0),
                            bias_init_fan_in=False, name="output")(h)
 
@@ -68,18 +76,25 @@ class NonRigidMLP(nn.Module):
     mlp_depth: int = 6
     mlp_width: int = 128
     skips: Sequence[int] = (4,)
+    # trunk computation dtype (params stay f32); the offset output layer
+    # always runs f32 (its +-1e-5 init scale needs f32 inputs)
+    compute_dtype: "Optional[jnp.dtype]" = None
 
     @nn.compact
     def __call__(self, pos_embed, pos_xyz, condition_code):
+        if self.compute_dtype is not None:
+            pos_embed = pos_embed.astype(self.compute_dtype)
+            condition_code = condition_code.astype(self.compute_dtype)
         h = jnp.concatenate([condition_code, pos_embed], axis=-1)
         for i in range(self.mlp_depth):
             if i in self.skips and i > 0:
                 h = jnp.concatenate([h, pos_embed], axis=-1)
             h = TorchLinear(self.mlp_width,
                             kernel_init=xavier_uniform_gain(RELU_GAIN),
-                            bias_init_fan_in=False,
+                            bias_init_fan_in=False, dtype=self.compute_dtype,
                             name=f"linear_{i}")(h)
             h = jax.nn.relu(h)
+        h = h.astype(jnp.float32)
         trans = TorchLinear(3, kernel_init=small_uniform(1e-5),
                             bias_init_fan_in=False, name="output")(h)
         return {"xyz": pos_xyz + trans, "offsets": trans}

@@ -10,6 +10,19 @@ import numpy as np
 from flax import linen as nn
 
 
+def resolve_compute_dtype(spec):
+    """Config-surface dtype spec -> jnp dtype or None. Accepts None,
+    'bf16'/'bfloat16', 'f32'/'float32', or an actual dtype."""
+    if spec is None or not isinstance(spec, str):
+        return spec
+    key = spec.lower()
+    if key in ("bf16", "bfloat16"):
+        return jnp.bfloat16
+    if key in ("f32", "float32", "fp32"):
+        return None
+    raise ValueError(f"unknown compute_dtype {spec!r}")
+
+
 def kaiming_uniform():
     """torch's nn.init.kaiming_uniform_ with default args (gain sqrt(2))."""
     return nn.initializers.variance_scaling(2.0, "fan_in", "uniform")

@@ -24,7 +24,8 @@ import numpy as np
 from flax import linen as nn
 
 from hosnerf_tpu.core import geopoly, rays as ray_math, render, stepfun
-from hosnerf_tpu.models.layers import TorchLinear, kaiming_uniform
+from hosnerf_tpu.models.layers import (TorchLinear, kaiming_uniform,
+                                       resolve_compute_dtype)
 
 
 class MipMLP(nn.Module):
@@ -182,19 +183,24 @@ class SceneField(nn.Module):
     # repeated calls); with remat, each slab's activations are freed
     # before the next.
     mlp_chunk: Optional[int] = None
+    # MLP-trunk computation dtype ('bf16' or None=f32); see MipMLP —
+    # params, heads, sampling and compositing stay f32 either way.
+    compute_dtype: Optional[str] = None
 
     def setup(self):
         mlp_cls = (nn.remat(MipMLP, static_argnums=(4,)) if self.remat
                    else MipMLP)
+        cdt = resolve_compute_dtype(self.compute_dtype)
         mlps = []
         for i in range(self.num_levels - 1):
             mlps.append(mlp_cls(
                 num_states=self.num_states, netdepth=self.prop_netdepth,
                 netwidth=self.prop_netwidth, disable_rgb=True,
-                name=f"prop_mlp_{i}"))
+                compute_dtype=cdt, name=f"prop_mlp_{i}"))
         mlps.append(mlp_cls(
             num_states=self.num_states, netdepth=self.nerf_netdepth,
-            netwidth=self.nerf_netwidth, name="nerf_mlp"))
+            netwidth=self.nerf_netwidth, compute_dtype=cdt,
+            name="nerf_mlp"))
         self.mlps = mlps
 
     def _apply_mlp(self, mlp, gaussians, viewdirs, state_idx, randomized,

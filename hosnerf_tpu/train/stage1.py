@@ -53,6 +53,9 @@ class Stage1Config:
     # rematerialize MLP activations in backward (needed only for large
     # batches; ~1.45x step time at the 4096-ray production batch)
     remat: bool = False
+    # MLP-trunk computation dtype: 'bf16' runs the big matmuls at the
+    # MXU's native rate (params/heads/compositing stay f32), None = f32
+    compute_dtype: "str | None" = None
 
 
 def make_model(cfg: Stage1Config) -> scene.SceneField:
@@ -65,6 +68,7 @@ def make_model(cfg: Stage1Config) -> scene.SceneField:
         prop_netwidth=cfg.prop_netwidth,
         mlp_chunk=cfg.mlp_chunk,
         remat=cfg.remat,
+        compute_dtype=cfg.compute_dtype,
     )
 
 

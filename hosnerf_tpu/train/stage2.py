@@ -65,6 +65,9 @@ class Stage2Config:
     # rematerialize MLP activations in backward (needed only for large
     # batches; measured ~1.2-1.5x step overhead at the 2-patch batch)
     remat: bool = False
+    # MLP-trunk computation dtype: 'bf16' or None=f32 (params, output
+    # heads, LBS and compositing stay f32 either way)
+    compute_dtype: "str | None" = None
 
 
 def make_model(cfg: Stage2Config) -> HumanObjectField:
@@ -74,7 +77,7 @@ def make_model(cfg: Stage2Config) -> HumanObjectField:
         nr_mlp_width=cfg.nr_mlp_width,
         mweight_volume_size=cfg.mweight_volume_size,
         mlp_chunk=cfg.mlp_chunk, lbs_impl=cfg.lbs_impl,
-        remat=cfg.remat)
+        remat=cfg.remat, compute_dtype=cfg.compute_dtype)
 
 
 # --------------------------------------------------------------------------

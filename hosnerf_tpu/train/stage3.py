@@ -68,6 +68,9 @@ class Stage3Config:
     num_nerf_samples: int = 32
     nerf_netwidth: int = 1024
     prop_netwidth: int = 256
+    # MLP-trunk computation dtype for BOTH models: 'bf16' or None=f32
+    # (params, output heads, LBS, sampling and compositing stay f32)
+    compute_dtype: "str | None" = None
 
 
 def make_models(cfg: Stage3Config):
@@ -77,13 +80,14 @@ def make_models(cfg: Stage3Config):
         nr_mlp_width=cfg.nr_mlp_width,
         mweight_volume_size=cfg.mweight_volume_size,
         mlp_chunk=cfg.mlp_chunk, lbs_impl=cfg.lbs_impl,
-        remat=cfg.remat)
+        remat=cfg.remat, compute_dtype=cfg.compute_dtype)
     scene = scene_mod.SceneField(
         num_states=cfg.num_states, num_prop_samples=cfg.num_prop_samples,
         num_nerf_samples=cfg.num_nerf_samples,
         nerf_netwidth=cfg.nerf_netwidth, prop_netwidth=cfg.prop_netwidth,
         opaque_background=cfg.opaque_background,
-        mlp_chunk=cfg.scene_mlp_chunk, remat=cfg.remat)
+        mlp_chunk=cfg.scene_mlp_chunk, remat=cfg.remat,
+        compute_dtype=cfg.compute_dtype)
     return scene, human
 
 

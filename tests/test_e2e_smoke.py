@@ -101,11 +101,16 @@ def test_stage3_smoke_real_loader(mini):
 
 
 def test_stage2_learns_on_real_loader(mini):
-    """Beyond finiteness: ~40 steps overfitting one real-loader frame must
-    reduce the loss substantially (VERDICT r1 weak #4)."""
+    """Beyond finiteness: overfitting one real-loader frame at REFERENCE
+    learning rates must reduce the loss substantially (VERDICT r1 weak
+    #4). Needs the geometry-consistent mini dataset (subject painted
+    along the projected skeleton): measured loss ratio 0.17x at step 100
+    / 0.11x at 120 (density ignites ~step 90); asserted at 0.6x."""
     ds = HumanDataset(mini, mode="train", n_patches=2, patch_size=8,
-                      mweight_volume_size=8)
-    cfg = stage2.Stage2Config(**TINY_HUMAN)
+                      mweight_volume_size=16)
+    cfg = stage2.Stage2Config(n_samples=16, cnl_mlp_width=32,
+                              nr_mlp_width=16, mweight_volume_size=16,
+                              n_patches=2, patch_size=8)
     item = ds[0]
     batch = {k: jnp.asarray(v) for k, v in item.items()
              if k != "frame_name"}
@@ -115,17 +120,20 @@ def test_stage2_learns_on_real_loader(mini):
                                           transitions=ds.transitions))
     rng = jax.random.key(4)
     losses = []
-    for i in range(40):
+    for i in range(120):
         rng, sub = jax.random.split(rng)
         params, opt_state, aux = step(params, opt_state, None, batch,
                                       jnp.float32(i), sub)
         losses.append(float(aux["loss"]))
     first, last = np.mean(losses[:5]), np.mean(losses[-5:])
     assert np.isfinite(losses).all()
-    assert last < first * 0.7, (first, last)
+    assert last < first * 0.6, (first, last)
 
 
 def test_stage3_learns_on_real_loader(mini):
+    """Joint stage-3 overfit of one frame at reference LRs: measured
+    0.19x loss at step 100 even at the cheap G=8/S=8 config (the joint
+    scene model learns the background fast); asserted at 0.6x."""
     scene_loader.load_nerf_360_v2(
         os.path.dirname(mini), os.path.basename(mini), factor=1)
     ds = HumanDataset(mini, mode="train", n_patches=2, patch_size=8,
@@ -142,11 +150,11 @@ def test_stage3_learns_on_real_loader(mini):
                                           opt, transitions=ds.transitions))
     rng = jax.random.key(5)
     losses = []
-    for i in range(40):
+    for i in range(100):
         rng, sub = jax.random.split(rng)
         params, opt_state, aux = step(params, opt_state, None, batch,
                                       jnp.float32(i), sub)
         losses.append(float(aux["loss"]))
     first, last = np.mean(losses[:5]), np.mean(losses[-5:])
     assert np.isfinite(losses).all()
-    assert last < first * 0.7, (first, last)
+    assert last < first * 0.6, (first, last)
