@@ -59,10 +59,14 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# Samples per grid step. VMEM at T=512, G=32, bf16: onehot 1 MB, volume
-# 1.7 MB (f32: 2/3.4 MB) — comfortably inside the ~16 MB budget with
-# double-buffered blocks.
-TILE = 512
+# Samples per grid step, per kernel family. Measured sweep (v5e, 262k
+# samples): the inverse kernels run 512 / 1024 / 2048 at grad 147.6 /
+# 135.6 / 134.5 ms — 1024 takes the program-count amortization win
+# without 2048's VMEM pressure. The shared kernels see no win from
+# bigger tiles (9.6 vs 10.0 ms) and their [T, B*G] intermediates blow
+# the 16 MB scoped-vmem limit at 1024, so they stay at 512.
+TILE_INV = 1024
+TILE_SH = 512
 
 _HIGHEST = jax.lax.Precision.HIGHEST
 
@@ -231,7 +235,8 @@ def _inverse_bwd_kernel(pts_ref, rg_ref, tg_ref, volt_ref, gacc_ref,
     tz = _hat(fz, ig)                                    # [T, G]
     onehot = tx * ty                                     # [T, G*G]
 
-    # V = z-interpolated slab; Vdz = its z-derivative (2 small-K matmuls)
+    # V = z-interpolated slab; Vdz = its z-derivative (2 small-K matmuls;
+    # row-stacking them into one [2T, G] matmul measured no win)
     V = _mm(tz, volt_ref[b], prec)                       # [T, G*G]
     Vdz = _mm(_dhat(_clipped_floor(fz, G), ig), volt_ref[b], prec)
 
@@ -288,15 +293,15 @@ def inverse_core(pts_g, rg, tg, vol_qz, prec="bf16"):
 def _inverse_fwd(pts_g, rg, tg, vol_qz, prec):
     B, QQ, G = vol_qz.shape
     assert QQ == G * G, "inverse_core needs square xy slices"
-    pts_p, n = _pad_rows(pts_g.astype(jnp.float32), TILE)
+    pts_p, n = _pad_rows(pts_g.astype(jnp.float32), TILE_INV)
     vol = vol_qz.astype(jnp.bfloat16 if prec == "bf16" else jnp.float32)
-    grid = (pts_p.shape[0] // TILE,)
+    grid = (pts_p.shape[0] // TILE_INV,)
     kern = functools.partial(_inverse_fwd_kernel, B=B, G=G, prec=prec)
     acc = pl.pallas_call(
         kern,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((TILE, 3), lambda i: (i, 0),
+            pl.BlockSpec((TILE_INV, 3), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((B, 9), lambda i: (0, 0),
                          memory_space=pltpu.SMEM),
@@ -305,7 +310,7 @@ def _inverse_fwd(pts_g, rg, tg, vol_qz, prec):
             pl.BlockSpec((B, G * G, G), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((TILE, 4), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((TILE_INV, 4), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((pts_p.shape[0], 4), jnp.float32),
         interpret=_interpret(),
@@ -316,18 +321,18 @@ def _inverse_fwd(pts_g, rg, tg, vol_qz, prec):
 def _inverse_bwd(prec, res, gacc):
     pts_g, rg, tg, vol_qz = res
     B, QQ, G = vol_qz.shape
-    pts_p, n = _pad_rows(pts_g.astype(jnp.float32), TILE)
-    gacc_p, _ = _pad_rows(gacc.astype(jnp.float32), TILE)
+    pts_p, n = _pad_rows(pts_g.astype(jnp.float32), TILE_INV)
+    gacc_p, _ = _pad_rows(gacc.astype(jnp.float32), TILE_INV)
     # transposed layout [B, G(z), G*G] for the V-trick (see kernel doc)
     volt = jnp.swapaxes(vol_qz, 1, 2).astype(
         jnp.bfloat16 if prec == "bf16" else jnp.float32)
-    grid = (pts_p.shape[0] // TILE, B)  # bones vary fastest
+    grid = (pts_p.shape[0] // TILE_INV, B)  # bones vary fastest
     kern = functools.partial(_inverse_bwd_kernel, B=B, G=G, prec=prec)
     dpts, drgt, dtg, dvol = pl.pallas_call(
         kern,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((TILE, 3), lambda i, b: (i, 0),
+            pl.BlockSpec((TILE_INV, 3), lambda i, b: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((B, 9), lambda i, b: (0, 0),
                          memory_space=pltpu.SMEM),
@@ -335,11 +340,11 @@ def _inverse_bwd(prec, res, gacc):
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((B, G, G * G), lambda i, b: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE, 4), lambda i, b: (i, 0),
+            pl.BlockSpec((TILE_INV, 4), lambda i, b: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((TILE, 3), lambda i, b: (i, 0),
+            pl.BlockSpec((TILE_INV, 3), lambda i, b: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 3, 3), lambda i, b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -453,24 +458,24 @@ def _shared_fwd(pts_g, vol_all, prec):
     G = int(round(QQ ** 0.5))
     B = BG // G
     assert G * G == QQ and B * G == BG
-    pts_p, n = _pad_rows(pts_g.astype(jnp.float32), TILE)
+    pts_p, n = _pad_rows(pts_g.astype(jnp.float32), TILE_SH)
     dt = jnp.bfloat16 if prec == "bf16" else jnp.float32
     vol = vol_all.astype(dt)
     sum_blk = jnp.asarray(np.kron(np.eye(B), np.ones((G, 1))), dt)
-    grid = (pts_p.shape[0] // TILE,)
+    grid = (pts_p.shape[0] // TILE_SH,)
     kern = functools.partial(_shared_fwd_kernel, B=B, G=G, prec=prec)
     w = pl.pallas_call(
         kern,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((TILE, 3), lambda i: (i, 0),
+            pl.BlockSpec((TILE_SH, 3), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((QQ, BG), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((BG, B), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((TILE, B), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((TILE_SH, B), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((pts_p.shape[0], B), jnp.float32),
         interpret=_interpret(),
@@ -483,28 +488,28 @@ def _shared_bwd(prec, res, gw):
     QQ, BG = vol_all.shape
     G = int(round(QQ ** 0.5))
     B = BG // G
-    pts_p, n = _pad_rows(pts_g.astype(jnp.float32), TILE)
-    gw_p, _ = _pad_rows(gw.astype(jnp.float32), TILE)
+    pts_p, n = _pad_rows(pts_g.astype(jnp.float32), TILE_SH)
+    gw_p, _ = _pad_rows(gw.astype(jnp.float32), TILE_SH)
     dt = jnp.bfloat16 if prec == "bf16" else jnp.float32
     vol = vol_all.astype(dt)
     expand = jnp.asarray(np.kron(np.eye(B), np.ones((1, G))), dt)
-    grid = (pts_p.shape[0] // TILE,)
+    grid = (pts_p.shape[0] // TILE_SH,)
     kern = functools.partial(_shared_bwd_kernel, B=B, G=G, prec=prec)
     dpts, dvol = pl.pallas_call(
         kern,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((TILE, 3), lambda i: (i, 0),
+            pl.BlockSpec((TILE_SH, 3), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((QQ, BG), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((B, BG), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE, B), lambda i: (i, 0),
+            pl.BlockSpec((TILE_SH, B), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((TILE, 3), lambda i: (i, 0),
+            pl.BlockSpec((TILE_SH, 3), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((QQ, BG), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
