@@ -186,31 +186,26 @@ def _inverse_bwd_kernel(pts_ref, rg_ref, tg_ref, volt_ref, gacc_ref,
                         *, B: int, G: int, prec: str):
     """Backward of `_inverse_fwd_kernel` by recomputation.
 
-    Grid = (tiles, bones): program (i, b) handles one tile x one bone
-    (bones vary fastest, so the pts/gacc blocks stay resident across the
-    inner sweep). volt_ref [B, G(z), G*G] is the TRANSPOSED volume
-    layout: the z-interpolated slab V = tz @ volT [T, G*G] serves w_b,
-    dfx and dfy at once (one matmul instead of three zcols-style ones).
+    Grid = (tiles,) with an in-kernel fori_loop over bones — the iota
+    grids, pts/gacc reads and per-program setup are paid once per tile
+    instead of once per (tile, bone) (the earlier 2-D grid measured
+    ~8-16% of its time in per-program overhead). volt_ref [B, G(z), G*G]
+    is the TRANSPOSED volume layout: the z-interpolated slab
+    V = tz @ volT [T, G*G] serves w_b, dfx and dfy at once (one matmul
+    instead of three zcols-style ones).
     gacc_ref [T,4] = (d/d accx, accy, accz, wsum).
-    Outputs (all accumulated across sequential programs):
-      dpts [T,3] per tile; drgt [B,3,3] = dRg TRANSPOSED (row j holds
-      sum_t p_j * df); dtg [B,1,3]; dvol [B,G*G,G].
+    Outputs: dpts [T,3] per tile; drgt/dtg/dvol are full-resident blocks
+    accumulated across the sequential tile programs (dynamic bone-index
+    stores inside the loop); drgt [B,3,3] = dRg TRANSPOSED (row j holds
+    sum_t p_j * df); dtg [B,1,3]; dvol [B,G*G,G].
     """
     i = pl.program_id(0)
-    b = pl.program_id(1)
-
-    @pl.when((i == 0) & (b == 0))
-    def _init_vol():
-        dvol_ref[:, :, :] = jnp.zeros_like(dvol_ref)
-
-    @pl.when(b == 0)
-    def _init_tile():
-        dpts_ref[:, :] = jnp.zeros_like(dpts_ref)
 
     @pl.when(i == 0)
-    def _init_bone():
-        drgt_ref[0, :, :] = jnp.zeros((3, 3), jnp.float32)
-        dtg_ref[0, :, :] = jnp.zeros((1, 3), jnp.float32)
+    def _init_accs():
+        dvol_ref[:, :, :] = jnp.zeros_like(dvol_ref)
+        drgt_ref[:, :, :] = jnp.zeros_like(drgt_ref)
+        dtg_ref[:, :, :] = jnp.zeros_like(dtg_ref)
 
     x = pts_ref[:, 0:1]
     y = pts_ref[:, 1:2]
@@ -224,50 +219,57 @@ def _inverse_bwd_kernel(pts_ref, rg_ref, tg_ref, volt_ref, gacc_ref,
     gz = gacc_ref[:, 2:3]
     gw_sum = gacc_ref[:, 3:4]
 
-    fx = rg_ref[b, 0] * x + rg_ref[b, 1] * y + rg_ref[b, 2] * z \
-        + tg_ref[b, 0]
-    fy = rg_ref[b, 3] * x + rg_ref[b, 4] * y + rg_ref[b, 5] * z \
-        + tg_ref[b, 1]
-    fz = rg_ref[b, 6] * x + rg_ref[b, 7] * y + rg_ref[b, 8] * z \
-        + tg_ref[b, 2]
-    tx = _hat(fx, xq)
-    ty = _hat(fy, yq)
-    tz = _hat(fz, ig)                                    # [T, G]
-    onehot = tx * ty                                     # [T, G*G]
+    def body(b, dpts_acc):
+        fx = rg_ref[b, 0] * x + rg_ref[b, 1] * y + rg_ref[b, 2] * z \
+            + tg_ref[b, 0]
+        fy = rg_ref[b, 3] * x + rg_ref[b, 4] * y + rg_ref[b, 5] * z \
+            + tg_ref[b, 1]
+        fz = rg_ref[b, 6] * x + rg_ref[b, 7] * y + rg_ref[b, 8] * z \
+            + tg_ref[b, 2]
+        tx = _hat(fx, xq)
+        ty = _hat(fy, yq)
+        tz = _hat(fz, ig)                                # [T, G]
+        onehot = tx * ty                                 # [T, G*G]
 
-    # V = z-interpolated slab; Vdz = its z-derivative (2 small-K matmuls;
-    # row-stacking them into one [2T, G] matmul measured no win)
-    V = _mm(tz, volt_ref[b], prec)                       # [T, G*G]
-    Vdz = _mm(_dhat(_clipped_floor(fz, G), ig), volt_ref[b], prec)
+        # V = z-interpolated slab; Vdz = its z-derivative (2 small-K
+        # matmuls; row-stacking them into one measured no win)
+        V = _mm(tz, volt_ref[b], prec)                   # [T, G*G]
+        Vdz = _mm(_dhat(_clipped_floor(fz, G), ig), volt_ref[b], prec)
 
-    w_b = jnp.sum(onehot * V, axis=1, keepdims=True)
+        w_b = jnp.sum(onehot * V, axis=1, keepdims=True)
 
-    # acc = sum_b w_b * (fx, fy, fz, 1)
-    gw = gx * fx + gy * fy + gz * fz + gw_sum            # dL/dw_b [T,1]
+        # acc = sum_b w_b * (fx, fy, fz, 1)
+        gw = gx * fx + gy * fy + gz * fz + gw_sum        # dL/dw_b [T,1]
 
-    # dvol_b[q, z] += sum_t onehot[t,q] * gw[t] * tz[t,z]
-    dims_t = (((0,), (0,)), ((), ()))
-    dvol_ref[b, :, :] += _mm(onehot * gw, tz, prec, dims=dims_t)
+        # dvol_b[q, z] += sum_t onehot[t,q] * gw[t] * tz[t,z]
+        dims_t = (((0,), (0,)), ((), ()))
+        dvol_ref[b, :, :] += _mm(onehot * gw, tz, prec, dims=dims_t)
 
-    dfx = gx * w_b + gw * jnp.sum(
-        _dhat(_clipped_floor(fx, G), xq) * ty * V, axis=1, keepdims=True)
-    dfy = gy * w_b + gw * jnp.sum(
-        tx * _dhat(_clipped_floor(fy, G), yq) * V, axis=1, keepdims=True)
-    dfz = gz * w_b + gw * jnp.sum(onehot * Vdz, axis=1, keepdims=True)
-    df = jnp.concatenate([dfx, dfy, dfz], axis=1)        # [T, 3]
+        dfx = gx * w_b + gw * jnp.sum(
+            _dhat(_clipped_floor(fx, G), xq) * ty * V, axis=1,
+            keepdims=True)
+        dfy = gy * w_b + gw * jnp.sum(
+            tx * _dhat(_clipped_floor(fy, G), yq) * V, axis=1,
+            keepdims=True)
+        dfz = gz * w_b + gw * jnp.sum(onehot * Vdz, axis=1, keepdims=True)
+        df = jnp.concatenate([dfx, dfy, dfz], axis=1)    # [T, 3]
 
-    # chain through the bone affine: dpts += df @ Rg_b
-    dpts_ref[:, :] += jnp.concatenate(
-        [dfx * rg_ref[b, 0] + dfy * rg_ref[b, 3] + dfz * rg_ref[b, 6],
-         dfx * rg_ref[b, 1] + dfy * rg_ref[b, 4] + dfz * rg_ref[b, 7],
-         dfx * rg_ref[b, 2] + dfy * rg_ref[b, 5] + dfz * rg_ref[b, 8]],
-        axis=1)
-    # dRg^T rows: row j = sum_t p_j[t] * df[t, :]
-    drgt_ref[0, :, :] += jnp.concatenate(
-        [jnp.sum(df * x, axis=0, keepdims=True),
-         jnp.sum(df * y, axis=0, keepdims=True),
-         jnp.sum(df * z, axis=0, keepdims=True)], axis=0)
-    dtg_ref[0, :, :] += jnp.sum(df, axis=0, keepdims=True)
+        # dRg^T rows: row j = sum_t p_j[t] * df[t, :]
+        drgt_ref[b, :, :] += jnp.concatenate(
+            [jnp.sum(df * x, axis=0, keepdims=True),
+             jnp.sum(df * y, axis=0, keepdims=True),
+             jnp.sum(df * z, axis=0, keepdims=True)], axis=0)
+        dtg_ref[b, :, :] += jnp.sum(df, axis=0, keepdims=True)
+
+        # chain through the bone affine: dpts += df @ Rg_b
+        return dpts_acc + jnp.concatenate(
+            [dfx * rg_ref[b, 0] + dfy * rg_ref[b, 3] + dfz * rg_ref[b, 6],
+             dfx * rg_ref[b, 1] + dfy * rg_ref[b, 4] + dfz * rg_ref[b, 7],
+             dfx * rg_ref[b, 2] + dfy * rg_ref[b, 5] + dfz * rg_ref[b, 8]],
+            axis=1)
+
+    dpts_ref[:, :] = jax.lax.fori_loop(
+        0, B, body, jnp.zeros((T, 3), jnp.float32))
 
 
 def _pad_rows(a, mult):
@@ -326,31 +328,31 @@ def _inverse_bwd(prec, res, gacc):
     # transposed layout [B, G(z), G*G] for the V-trick (see kernel doc)
     volt = jnp.swapaxes(vol_qz, 1, 2).astype(
         jnp.bfloat16 if prec == "bf16" else jnp.float32)
-    grid = (pts_p.shape[0] // TILE_INV, B)  # bones vary fastest
+    grid = (pts_p.shape[0] // TILE_INV,)
     kern = functools.partial(_inverse_bwd_kernel, B=B, G=G, prec=prec)
     dpts, drgt, dtg, dvol = pl.pallas_call(
         kern,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((TILE_INV, 3), lambda i, b: (i, 0),
+            pl.BlockSpec((TILE_INV, 3), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((B, 9), lambda i, b: (0, 0),
+            pl.BlockSpec((B, 9), lambda i: (0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((B, 3), lambda i, b: (0, 0),
+            pl.BlockSpec((B, 3), lambda i: (0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((B, G, G * G), lambda i, b: (0, 0, 0),
+            pl.BlockSpec((B, G, G * G), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE_INV, 4), lambda i, b: (i, 0),
+            pl.BlockSpec((TILE_INV, 4), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((TILE_INV, 3), lambda i, b: (i, 0),
+            pl.BlockSpec((TILE_INV, 3), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 3, 3), lambda i, b: (b, 0, 0),
+            pl.BlockSpec((B, 3, 3), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 3), lambda i, b: (b, 0, 0),
+            pl.BlockSpec((B, 1, 3), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((B, G * G, G), lambda i, b: (0, 0, 0),
+            pl.BlockSpec((B, G * G, G), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
