@@ -132,6 +132,40 @@ def main():
         f"implied {implied_tflops:.0f} TFLOPS exceeds chip peak "
         f"{BF16_PEAK_TFLOPS} — measurement artifact, refusing to report")
 
+    # secondary point: 8-patch batch (the framework's preferred larger
+    # operating point; 4x the reference per-rank batch) — same honest
+    # chained protocol, fewer iters
+    big_rays = 8 * 32 * 32
+    big_sec = None
+    try:
+        cfg8 = stage3.Stage3Config(n_patches=8, compute_dtype="bf16")
+        batch8 = {k: jnp.asarray(v) for k, v in
+                  synthetic.composed_batch(8, 32, grid_size=32).items()}
+        p8, o8, sm8, hm8, opt8 = stage3.init_state(
+            cfg8, jax.random.key(0), batch8)
+        raw8 = stage3.make_train_step(cfg8, sm8, hm8, opt8)
+
+        def chained8(ps, os_, b, prev_loss, iter_f, rng):
+            it = iter_f + 0.0 * prev_loss
+            new_p, _, losses = raw8(ps, os_, None, b, it, rng)
+            probe = sum(jnp.sum(leaf) for leaf in jax.tree.leaves(new_p))
+            return losses["loss"] + 0.0 * probe
+
+        step8 = jax.jit(chained8)
+        l8 = jnp.float32(0.0)
+        for i in range(2):
+            l8 = step8(p8, o8, batch8, l8, jnp.float32(100.0 + i), keys[i])
+        force_value(l8)
+        t0 = time.perf_counter()
+        for i in range(2, 10):
+            l8 = step8(p8, o8, batch8, l8, jnp.float32(100.0 + i), keys[i])
+        force_value(l8)
+        big_sec = (time.perf_counter() - t0) / 8
+        implied8 = flops * 4.0 / big_sec / 1e12  # ~4x model FLOPs
+        assert implied8 <= BF16_PEAK_TFLOPS * 1.05
+    except Exception:
+        big_sec = None
+
     n_chips = len(jax.devices())
     rays_per_sec_per_chip = RAYS / sec_per_step / n_chips
     print(json.dumps({
@@ -146,6 +180,9 @@ def main():
         "implied_tflops": round(implied_tflops, 2),
         "mfu_vs_bf16_peak": round(mfu, 4),
         "baseline_is_estimate": True,
+        **({"sec_per_step_8patch": round(big_sec, 5),
+            "rays_per_sec_8patch": round(big_rays / big_sec / n_chips, 1)}
+           if big_sec else {}),
     }))
 
 

@@ -103,6 +103,19 @@ def _logdir(args) -> str:
     return d
 
 
+def _capture_dir(basedir: str, scene_name) -> str:
+    """The reference's yaml `basedir` points directly at the capture dir;
+    accept the stage-1 convention too (<basedir>/<scene_name>) when that
+    subdirectory is the actual capture (has mesh_infos.pkl)."""
+    if scene_name:
+        sub = os.path.join(basedir, scene_name)
+        if (os.path.isfile(os.path.join(sub, "mesh_infos.pkl"))
+                and not os.path.isfile(
+                    os.path.join(basedir, "mesh_infos.pkl"))):
+            return sub
+    return basedir
+
+
 def _resolve_cdt(spec) -> "str | None":
     """Config-surface compute dtype: 'auto' (default) -> bf16 MLP trunks
     on TPU (measured quality-neutral, ~7% faster steps), f32 elsewhere;
@@ -233,7 +246,8 @@ def run_human(args) -> None:
 
     cfg_yaml = yamlcfg.make_cfg(args.cfg, args.default_cfg)
     logdir = _logdir(args)
-    datadir = cfg_yaml.get("basedir", ".")
+    datadir = _capture_dir(cfg_yaml.get("basedir", "."),
+                           args.scene_name)
 
     ds = HumanDataset(datadir, mode="train",
                       n_patches=int(cfg_yaml.get("patch", {}).get(
@@ -349,8 +363,9 @@ def run_hosnerf(args) -> None:
     gin = ginlite.parse_config_files_and_bindings(args.ginc, args.ginb)
     cfg_yaml = yamlcfg.make_cfg(args.cfg, args.default_cfg)
     logdir = _logdir(args)
-    datadir = cfg_yaml.get("basedir", ginlite.scoped(gin, "run").get(
-        "datadir", "."))
+    datadir = _capture_dir(
+        cfg_yaml.get("basedir", ginlite.scoped(gin, "run").get(
+            "datadir", ".")), args.scene_name)
 
     patch_y = cfg_yaml.get("patch", {})
     ds = HumanDataset(datadir, mode="train", use_scaleworld=True,
