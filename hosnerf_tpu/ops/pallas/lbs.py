@@ -15,9 +15,24 @@ network.py:302-396):
 
 * `inverse_core`: per-bone positions (obs -> canonical). Each bone
   transforms the points with its own affine before sampling its weight
-  channel, so the one-hot rows are rebuilt per bone. The per-bone matmul
-  [T, G^2] @ [G^2, G] has a G-wide output (25% MXU lane utilization at
-  G=32) — inherent to per-bone sampling.
+  channel, so the tap rows are rebuilt per bone. Two measured facts on
+  v5e shaped its design:
+    (1) SEPARABLE FACTORIZATION — the x taps are expanded through the
+        MXU (W1 = tx [T,G] @ volx [G, G^2] with the volume relaid as
+        x-rows x (y,z)-cols), so only the y-tap expansion remains a
+        [T, G^2] VPU build, and the y/z reductions ride constant 0/1
+        block-sum matmuls. Halves the big-array VPU passes vs building
+        the xy one-hot rows arithmetically.
+    (2) LANE PACKING — ablation showed ~60% of a per-bone-loop kernel
+        was [T,1]/[T,G] column work at 1-of-128-lane utilization (the
+        bone affines, small tap rows, accumulator updates), NOT the
+        [T, G^2] arrays or matmuls. The kernels therefore process
+        128//G bones per vector op: affine coefficient tables are
+        pre-packed per lane ([NG, 4, 128]), tap rows build as [T,128],
+        per-bone sums go through a segment-sum matmul, and dRg/dTg
+        accumulate via contract-over-T matmuls instead of axis-0 VPU
+        reductions. Measured (262k samples, B=26, G=32): forward
+        35 -> 28 ms, grad 126 -> 89 ms.
 
 * `shared_core`: one set of taps for ALL bones (canonical -> obs forward
   skinning samples every channel at the same canonical point). One
@@ -36,16 +51,27 @@ path to ~1e-6); `precision="bf16"` casts the one-hot rows and volume to
 bf16 for single-pass MXU issue with f32 accumulation (~2^-9 relative
 error on weights; the production default).
 
-Measured dead end (v5e, kept for the record): per-(tile, bone) support
-skipping — predicate `coord range intersects [-1, G]` guarding the tap
-build + matmul with `lax.cond`/`pl.when`. The skip itself works (50/50
-in/out points: fwd 37->28 ms, grad 145->91 ms) but never fires on real
-ray batches: samples arrive ray-ordered, so a 512-sample tile is ~4 full
-near->far rays whose per-bone grid-coord span averages ~48 units against
-a 32-unit grid — 99.9% of (tile, bone) pairs intersect the volume. All-in
-overhead is ~2% on the kernels and ~5% on the train step, so it was
-reverted. It would pay only after a sample-reordering pass (e.g. Morton
-order), which costs more than it saves at these sizes.
+Measured dead ends (v5e, kept for the record):
+* Per-(tile, bone) support skipping — predicate `coord range intersects
+  [-1, G]` guarding the tap build + matmul with `lax.cond`/`pl.when`.
+  The skip itself works (50/50 in/out points: fwd 37->28 ms, grad
+  145->91 ms) but never fires on real ray batches: samples arrive
+  ray-ordered, so a tile is a few full near->far rays whose per-bone
+  grid-coord span averages ~48 units against a 32-unit grid — 99.9% of
+  (tile, bone) pairs intersect the volume. All-in overhead is ~2% on
+  the kernels, so it was reverted. It would pay only after a
+  sample-reordering pass (e.g. Morton order), which costs more than it
+  saves at these sizes.
+* bf16 tap builds (no compares in the hat form, so Mosaic accepts it):
+  measured SLOWER than f32 builds (28.2 vs 26.6 ms fwd) and the bf16
+  subtract f - iota at grid coords ~30 costs ~0.25 absolute tap error —
+  rejected on both counts.
+* `pltpu.repeat` for the z-tap tile expansion: hangs the Mosaic
+  pipeline on this toolchain (compile never returns).
+* Full 26-bone python unroll: blows the scoped-VMEM stack; a 7-group
+  unroll compiled but pushed the enclosing train-step compile past 19
+  minutes. Groups therefore run under `fori_loop` (same measured speed,
+  ~7x smaller program).
 """
 
 from __future__ import annotations
@@ -60,11 +86,12 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 # Samples per grid step, per kernel family. Measured sweep (v5e, 262k
-# samples): the inverse kernels run 512 / 1024 / 2048 at grad 147.6 /
-# 135.6 / 134.5 ms — 1024 takes the program-count amortization win
-# without 2048's VMEM pressure. The shared kernels see no win from
-# bigger tiles (9.6 vs 10.0 ms) and their [T, B*G] intermediates blow
-# the 16 MB scoped-vmem limit at 1024, so they stay at 512.
+# samples, pre-packing design): the inverse kernels ran 512 / 1024 /
+# 2048 at grad 147.6 / 135.6 / 134.5 ms — 1024 takes the program-count
+# amortization win without 2048's VMEM pressure. The shared kernels see
+# no win from bigger tiles (9.6 vs 10.0 ms) and their [T, B*G]
+# intermediates blow the 16 MB scoped-vmem limit at 1024, so they stay
+# at 512.
 TILE_INV = 1024
 TILE_SH = 512
 
@@ -145,131 +172,203 @@ def _dhat(f0, iota):
 # ---------------------------------------------------------------------------
 # inverse kernel: per-bone positions
 # ---------------------------------------------------------------------------
+#
+# Factorized (separable) formulation: instead of building the full
+# [T, G*G] xy one-hot rows on the VPU (9 elementwise passes per bone —
+# the measured bottleneck of the earlier kernel), expand the x taps
+# through the MXU: W1 = tx_s @ volx with volx laid out [G(x), G*G(y,z)],
+# so only the y-tap expansion remains a [T, G*G] VPU build. The y and z
+# reductions happen on the MXU via constant 0/1 block-sum matrices.
+# Per-bone big-array VPU passes drop ~2x (fwd 9->5, bwd ~24->~14) at the
+# cost of extra small-K matmuls — cycles the previously idle MXU absorbs.
 
 
-def _inverse_fwd_kernel(pts_ref, rg_ref, tg_ref, vol_ref, out_ref,
-                        *, B: int, G: int, prec: str):
-    """One tile: accumulate grid-space acc (3) + wsum (1) over B bones.
+def _q2_iotas_f(T: int, G: int):
+    """[T, G*G] y/z coordinate grids for the q2 = y*G + z layout."""
+    iq = jax.lax.broadcasted_iota(jnp.int32, (T, G * G), 1)
+    if G & (G - 1) == 0:
+        sh = G.bit_length() - 1
+        return ((iq >> sh).astype(jnp.float32),
+                (iq & (G - 1)).astype(jnp.float32))
+    return ((iq // G).astype(jnp.float32),
+            jnp.remainder(iq, G).astype(jnp.float32))
 
-    pts_ref [T,3] grid-space points; rg_ref [B,9], tg_ref [B,3] grid-space
-    bone affines; vol_ref [B, G*G, G] (q=y*G+x rows, z cols);
-    out_ref [T,4] = (accx, accy, accz, wsum), all in grid coords.
+
+def _lane_iota_f(T: int, G: int):
+    """[T, 128] repeating 0..G-1 grid-line iota (tap rows for 128//G
+    bones packed on the lane axis)."""
+    il = jax.lax.broadcasted_iota(jnp.int32, (T, 128), 1)
+    return (il & (G - 1)).astype(jnp.float32)
+
+
+def _inverse_fwd_kernel(pts_ref, rxs_ref, rys_ref, rzs_ref, volx_ref,
+                        sz_ref, out_ref, *, BP: int, G: int, prec: str):
+    """One tile: accumulate grid-space acc (3) + wsum (1) over BP bones,
+    processed in groups of NGB = 128//G with the per-bone scalar work
+    PACKED onto the 128-lane axis (measured: the [T,1]/[T,G] column ops
+    of a per-bone loop were ~60% of the kernel's runtime at G=32 —
+    1-of-128-lane utilization — while the [T,G*G] builds and matmuls
+    were cheap; packing 128//G bones per vector op recovers it).
+
+    pts_ref [T,3] grid-space points. rxs/rys/rzs [NG, 4, 128]: per
+    group g and lane l, rows 0..2 = affine coefficients of that lane's
+    bone (bone = NGB*g + l//G) for grid coord x/y/z, row 3 = its
+    translation — so f<c>seg = x*r[0] + y*r[1] + z*r[2] + r[3] computes
+    ALL NGB bones' grid coordinate c at once. volx_ref [BP, G, G*G]
+    (x rows, q2 = y*G+z cols); sz_ref [G*G, G] constant z-block-sum
+    (Sz[y*G+z, z'] = (z == z')); out_ref [T,4] = (accx, accy, accz,
+    wsum), all in grid coords.
     """
+    NGB = 128 // G
+    NG = BP // NGB
     x = pts_ref[:, 0:1]
     y = pts_ref[:, 1:2]
     z = pts_ref[:, 2:3]
     T = x.shape[0]
-    xq, yq = _xy_iotas_f(T, G)
-    ig = _g_iota_f(T, G)
+    x128 = _lane_iota_f(T, G)
+    yq2, _ = _q2_iotas_f(T, G)
 
-    def body(b, acc):
-        fx = rg_ref[b, 0] * x + rg_ref[b, 1] * y + rg_ref[b, 2] * z \
-            + tg_ref[b, 0]
-        fy = rg_ref[b, 3] * x + rg_ref[b, 4] * y + rg_ref[b, 5] * z \
-            + tg_ref[b, 1]
-        fz = rg_ref[b, 6] * x + rg_ref[b, 7] * y + rg_ref[b, 8] * z \
-            + tg_ref[b, 2]
-        # [T, G*G] bilinear one-hot rows, built in VMEM
-        onehot = _hat(fx, xq) * _hat(fy, yq)
-        zcols = _mm(onehot, vol_ref[b], prec)          # [T, G] f32
-        w_b = jnp.sum(_hat(fz, ig) * zcols, axis=1,
-                      keepdims=True)                    # [T, 1]
-        return acc + w_b * jnp.concatenate([fx, fy, fz,
-                                            jnp.ones_like(fx)], axis=1)
+    def group(g, acc):
+        fxseg = (x * rxs_ref[g, 0:1, :] + y * rxs_ref[g, 1:2, :]
+                 + z * rxs_ref[g, 2:3, :] + rxs_ref[g, 3:4, :])
+        fyseg = (x * rys_ref[g, 0:1, :] + y * rys_ref[g, 1:2, :]
+                 + z * rys_ref[g, 2:3, :] + rys_ref[g, 3:4, :])
+        fzseg = (x * rzs_ref[g, 0:1, :] + y * rzs_ref[g, 1:2, :]
+                 + z * rzs_ref[g, 2:3, :] + rzs_ref[g, 3:4, :])
+        tx4 = _hat(fxseg, x128)
+        tz4 = _hat(fzseg, x128)
+        zcs = []
+        for j in range(NGB):
+            b = NGB * g + j
+            W1 = _mm(tx4[:, G * j:G * (j + 1)], volx_ref[b], prec)
+            ty_exp = _hat(fyseg[:, G * j:G * j + 1], yq2)   # [T, G*G]
+            zcs.append(_mm(W1 * ty_exp, sz_ref[:, :], prec))
+        zcols4 = jnp.concatenate(zcs, axis=1)               # [T, 128]
+        P4 = tz4 * zcols4
+        return acc + jnp.concatenate(
+            [jnp.sum(P4 * fxseg, axis=1, keepdims=True),
+             jnp.sum(P4 * fyseg, axis=1, keepdims=True),
+             jnp.sum(P4 * fzseg, axis=1, keepdims=True),
+             jnp.sum(P4, axis=1, keepdims=True)], axis=1)
 
-    out_ref[:, :] = jax.lax.fori_loop(0, B, body,
+    out_ref[:, :] = jax.lax.fori_loop(0, NG, group,
                                       jnp.zeros((T, 4), jnp.float32))
 
 
-def _inverse_bwd_kernel(pts_ref, rg_ref, tg_ref, volt_ref, gacc_ref,
-                        dpts_ref, drgt_ref, dtg_ref, dvol_ref,
-                        *, B: int, G: int, prec: str):
-    """Backward of `_inverse_fwd_kernel` by recomputation.
+def _inverse_bwd_kernel(pts_ref, rxs_ref, rys_ref, rzs_ref, volx_ref,
+                        sz_ref, sy_ref, kseg_ref, gacc_ref, dpts_ref,
+                        dr_ref, dvol_ref, *, BP: int, G: int, prec: str):
+    """Backward of `_inverse_fwd_kernel` by recomputation, with the same
+    lane packing (NGB = 128//G bones per group).
 
-    Grid = (tiles,) with an in-kernel fori_loop over bones — the iota
-    grids, pts/gacc reads and per-program setup are paid once per tile
-    instead of once per (tile, bone) (the earlier 2-D grid measured
-    ~8-16% of its time in per-program overhead). volt_ref [B, G(z), G*G]
-    is the TRANSPOSED volume layout: the z-interpolated slab
-    V = tz @ volT [T, G*G] serves w_b, dfx and dfy at once (one matmul
-    instead of three zcols-style ones).
-    gacc_ref [T,4] = (d/d accx, accy, accz, wsum).
-    Outputs: dpts [T,3] per tile; drgt/dtg/dvol are full-resident blocks
-    accumulated across the sequential tile programs (dynamic bone-index
-    stores inside the loop); drgt [B,3,3] = dRg TRANSPOSED (row j holds
-    sum_t p_j * df); dtg [B,1,3]; dvol [B,G*G,G].
+    Beyond the forward's packing, two backward-specific costs are moved
+    off the poorly-utilized paths (ablation: the five matmuls were only
+    ~27 of 96 ms — the rest was per-bone column work):
+      * per-bone segment sums (w_b, dfy/dfz cores) go through one
+        [T,128] @ kseg [128,128] 0/1 matmul (segment-broadcast sums)
+        instead of [T,G]-row reductions;
+      * dRg/dTg accumulation contracts over T on the MXU
+        (p4^T @ df4seg -> [4,128]) instead of 8 axis-0 VPU reductions
+        per bone.
+
+    Inputs as forward plus: sy_ref [G*G, G] y-block-sum; kseg_ref
+    [128, 128] segment-broadcast-sum matrix (1 where lanes share a
+    G-lane segment); gacc_ref [T,4] = (d/d accx, accy, accz, wsum).
+    Outputs: dpts [T,3] per tile; dr_ref [NG, 3, 4, 128] accumulated
+    across sequential tile programs — dr[g, c, k, l] = sum_t
+    p_k[t] * df_c[t, bone(g,l)] with p = (x, y, z, 1), from which the
+    host reads dRg (k<3) and dTg (k=3) at lanes l = G*j; dvol
+    [BP, G, G*G] (volx layout).
     """
+    NGB = 128 // G
+    NG = BP // NGB
     i = pl.program_id(0)
 
     @pl.when(i == 0)
     def _init_accs():
         dvol_ref[:, :, :] = jnp.zeros_like(dvol_ref)
-        drgt_ref[:, :, :] = jnp.zeros_like(drgt_ref)
-        dtg_ref[:, :, :] = jnp.zeros_like(dtg_ref)
+        dr_ref[:, :, :, :] = jnp.zeros_like(dr_ref)
 
     x = pts_ref[:, 0:1]
     y = pts_ref[:, 1:2]
     z = pts_ref[:, 2:3]
     T = x.shape[0]
-    xq, yq = _xy_iotas_f(T, G)
-    ig = _g_iota_f(T, G)
+    x128 = _lane_iota_f(T, G)
+    yq2, zq2 = _q2_iotas_f(T, G)
 
     gx = gacc_ref[:, 0:1]
     gy = gacc_ref[:, 1:2]
     gz = gacc_ref[:, 2:3]
     gw_sum = gacc_ref[:, 3:4]
+    dims_t = (((0,), (0,)), ((), ()))
+    p4 = jnp.concatenate([x, y, z, jnp.ones_like(x)], axis=1)  # [T,4]
 
-    def body(b, dpts_acc):
-        fx = rg_ref[b, 0] * x + rg_ref[b, 1] * y + rg_ref[b, 2] * z \
-            + tg_ref[b, 0]
-        fy = rg_ref[b, 3] * x + rg_ref[b, 4] * y + rg_ref[b, 5] * z \
-            + tg_ref[b, 1]
-        fz = rg_ref[b, 6] * x + rg_ref[b, 7] * y + rg_ref[b, 8] * z \
-            + tg_ref[b, 2]
-        tx = _hat(fx, xq)
-        ty = _hat(fy, yq)
-        tz = _hat(fz, ig)                                # [T, G]
-        onehot = tx * ty                                 # [T, G*G]
+    def segsum(q):  # [T,128] -> per-G-lane-segment sums, seg-broadcast
+        # always f32: these sums ARE the outputs (w_b, grad cores) —
+        # unlike the tap matmuls there is no bf16-tap contract here
+        return _mm(q, kseg_ref[:, :], "highest")
 
-        # V = z-interpolated slab; Vdz = its z-derivative (2 small-K
-        # matmuls; row-stacking them into one measured no win)
-        V = _mm(tz, volt_ref[b], prec)                   # [T, G*G]
-        Vdz = _mm(_dhat(_clipped_floor(fz, G), ig), volt_ref[b], prec)
+    def group(g, dpts_acc):
+        fxseg = (x * rxs_ref[g, 0:1, :] + y * rxs_ref[g, 1:2, :]
+                 + z * rxs_ref[g, 2:3, :] + rxs_ref[g, 3:4, :])
+        fyseg = (x * rys_ref[g, 0:1, :] + y * rys_ref[g, 1:2, :]
+                 + z * rys_ref[g, 2:3, :] + rys_ref[g, 3:4, :])
+        fzseg = (x * rzs_ref[g, 0:1, :] + y * rzs_ref[g, 1:2, :]
+                 + z * rzs_ref[g, 2:3, :] + rzs_ref[g, 3:4, :])
+        gw4 = gx * fxseg + gy * fyseg + gz * fzseg + gw_sum
+        tx4 = _hat(fxseg, x128)
+        tz4 = _hat(fzseg, x128)
+        dhy4 = _dhat(_clipped_floor(fyseg, G), x128)
+        dhz4 = _dhat(_clipped_floor(fzseg, G), x128)
+        dhx4 = _dhat(_clipped_floor(fxseg, G), x128)
 
-        w_b = jnp.sum(onehot * V, axis=1, keepdims=True)
+        zcs, u1s, dfxrs = [], [], []
+        for j in range(NGB):
+            b = NGB * g + j
+            s = slice(G * j, G * (j + 1))
+            W1 = _mm(tx4[:, s], volx_ref[b], prec)      # [T, G*G]
+            W1d = _mm(dhx4[:, s], volx_ref[b], prec)    # [T, G*G]
+            ty_exp = _hat(fyseg[:, G * j:G * j + 1], yq2)
+            tz_exp = _hat(fzseg[:, G * j:G * j + 1], zq2)
+            zcs.append(_mm(W1 * ty_exp, sz_ref[:, :], prec))
+            u1s.append(_mm(W1 * tz_exp, sy_ref[:, :], prec))
+            Rty = ty_exp * tz_exp
+            gw_col = gw4[:, G * j:G * j + 1]
+            # dvolx_b[x, q2] += sum_t tx[t,x] * gw[t] * Rty[t,q2]
+            dvol_ref[b, :, :] += _mm(tx4[:, s], gw_col * Rty, prec,
+                                     dims=dims_t)
+            dfxrs.append(jnp.broadcast_to(
+                jnp.sum(W1d * Rty, axis=1, keepdims=True), (T, G)))
+        zcols4 = jnp.concatenate(zcs, axis=1)           # [T, 128]
+        U14 = jnp.concatenate(u1s, axis=1)              # [T, 128]
+        dfxr4 = jnp.concatenate(dfxrs, axis=1)          # [T, 128]
 
-        # acc = sum_b w_b * (fx, fy, fz, 1)
-        gw = gx * fx + gy * fy + gz * fz + gw_sum        # dL/dw_b [T,1]
+        wB4 = segsum(tz4 * zcols4)                      # w_b, seg-bcast
+        dfx4 = gx * wB4 + gw4 * dfxr4
+        dfy4 = gy * wB4 + gw4 * segsum(dhy4 * U14)
+        dfz4 = gz * wB4 + gw4 * segsum(dhz4 * zcols4)
 
-        # dvol_b[q, z] += sum_t onehot[t,q] * gw[t] * tz[t,z]
-        dims_t = (((0,), (0,)), ((), ()))
-        dvol_ref[b, :, :] += _mm(onehot * gw, tz, prec, dims=dims_t)
+        # dRg/dTg: contract over T on the MXU (see docstring); f32 —
+        # bf16 would round the raw point coordinates in p4
+        dr_ref[g, 0, :, :] += _mm(p4, dfx4, "highest", dims=dims_t)
+        dr_ref[g, 1, :, :] += _mm(p4, dfy4, "highest", dims=dims_t)
+        dr_ref[g, 2, :, :] += _mm(p4, dfz4, "highest", dims=dims_t)
 
-        dfx = gx * w_b + gw * jnp.sum(
-            _dhat(_clipped_floor(fx, G), xq) * ty * V, axis=1,
-            keepdims=True)
-        dfy = gy * w_b + gw * jnp.sum(
-            tx * _dhat(_clipped_floor(fy, G), yq) * V, axis=1,
-            keepdims=True)
-        dfz = gz * w_b + gw * jnp.sum(onehot * Vdz, axis=1, keepdims=True)
-        df = jnp.concatenate([dfx, dfy, dfz], axis=1)    # [T, 3]
-
-        # dRg^T rows: row j = sum_t p_j[t] * df[t, :]
-        drgt_ref[b, :, :] += jnp.concatenate(
-            [jnp.sum(df * x, axis=0, keepdims=True),
-             jnp.sum(df * y, axis=0, keepdims=True),
-             jnp.sum(df * z, axis=0, keepdims=True)], axis=0)
-        dtg_ref[b, :, :] += jnp.sum(df, axis=0, keepdims=True)
-
-        # chain through the bone affine: dpts += df @ Rg_b
-        return dpts_acc + jnp.concatenate(
-            [dfx * rg_ref[b, 0] + dfy * rg_ref[b, 3] + dfz * rg_ref[b, 6],
-             dfx * rg_ref[b, 1] + dfy * rg_ref[b, 4] + dfz * rg_ref[b, 7],
-             dfx * rg_ref[b, 2] + dfy * rg_ref[b, 5] + dfz * rg_ref[b, 8]],
+        # chain through the bone affines: dpts += sum_b df_b @ Rg_b.
+        # df<c>4 is segment-broadcast (G identical lanes per bone), so
+        # the lane reduction overcounts by G — folded into 1/G.
+        inv_g = jnp.float32(1.0 / G)
+        return dpts_acc + inv_g * jnp.concatenate(
+            [jnp.sum(dfx4 * rxs_ref[g, 0:1, :] + dfy4 * rys_ref[g, 0:1, :]
+                     + dfz4 * rzs_ref[g, 0:1, :], axis=1, keepdims=True),
+             jnp.sum(dfx4 * rxs_ref[g, 1:2, :] + dfy4 * rys_ref[g, 1:2, :]
+                     + dfz4 * rzs_ref[g, 1:2, :], axis=1, keepdims=True),
+             jnp.sum(dfx4 * rxs_ref[g, 2:3, :] + dfy4 * rys_ref[g, 2:3, :]
+                     + dfz4 * rzs_ref[g, 2:3, :], axis=1, keepdims=True)],
             axis=1)
 
     dpts_ref[:, :] = jax.lax.fori_loop(
-        0, B, body, jnp.zeros((T, 3), jnp.float32))
+        0, NG, group, jnp.zeros((T, 3), jnp.float32))
 
 
 def _pad_rows(a, mult):
@@ -281,66 +380,124 @@ def _pad_rows(a, mult):
     return a, n
 
 
+def _sum_mats(G: int, dt):
+    """Constant 0/1 block-sum matrices for the q2 = y*G + z layout:
+    Sz[y*G+z, z'] = (z == z'); Sy[y*G+z, y'] = (y == y')."""
+    sz = jnp.asarray(np.kron(np.ones((G, 1)), np.eye(G)), dt)
+    sy = jnp.asarray(np.kron(np.eye(G), np.ones((G, 1))), dt)
+    return sz, sy
+
+
+def _pack_shape(B: int, G: int):
+    assert G & (G - 1) == 0 and G <= 128, \
+        "packed LBS kernels need a power-of-two grid <= 128"
+    ngb = 128 // G
+    bp = -(-B // ngb) * ngb
+    return ngb, bp
+
+
+def _seg_vectors(rg, tg, G: int, BP: int):
+    """Per-group lane-packed affine coefficient tables [NG, 4, 128]
+    (rows 0..2 = grid-affine coefficients, row 3 = translation; lane l
+    of group g belongs to bone NGB*g + l//G), one table per grid
+    coordinate. Built with static index maps — stays inside jit."""
+    NGB = 128 // G
+    NG = BP // NGB
+    pad = BP - rg.shape[0]
+    rgp = jnp.pad(rg, ((0, pad), (0, 0)))
+    tgp = jnp.pad(tg, ((0, pad), (0, 0)))
+    lane_bone = (np.arange(NG)[:, None] * NGB
+                 + (np.arange(128)[None, :] // G))     # [NG, 128] static
+    out = []
+    for c in range(3):
+        out.append(jnp.stack(
+            [rgp[lane_bone, 3 * c + 0], rgp[lane_bone, 3 * c + 1],
+             rgp[lane_bone, 3 * c + 2], tgp[lane_bone, c]], axis=1))
+    return out  # 3 x [NG, 4, 128]
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
-def inverse_core(pts_g, rg, tg, vol_qz, prec="bf16"):
+def inverse_core(pts_g, rg, tg, vol_xq, prec="bf16"):
     """Grid-space inverse-LBS accumulation.
 
     pts_g [N,3] grid coords; rg [B,9] / tg [B,3] grid-space bone affines;
-    vol_qz [B, G*G, G]. Returns acc [N,4] = (sum_b w_b*f_b, sum_b w_b)
-    in grid coordinates. Normalization / world conversion stay in XLA.
+    vol_xq [B, G(x), G*G(y,z)]. Returns acc [N,4] = (sum_b w_b*f_b,
+    sum_b w_b) in grid coordinates. Normalization / world conversion
+    stay in XLA.
     """
-    return _inverse_fwd(pts_g, rg, tg, vol_qz, prec)[0]
+    return _inverse_fwd(pts_g, rg, tg, vol_xq, prec)[0]
 
 
-def _inverse_fwd(pts_g, rg, tg, vol_qz, prec):
-    B, QQ, G = vol_qz.shape
-    assert QQ == G * G, "inverse_core needs square xy slices"
+def _inverse_fwd(pts_g, rg, tg, vol_xq, prec):
+    B, G, QQ = vol_xq.shape
+    assert QQ == G * G, "inverse_core needs cubic volumes"
+    NGB, BP = _pack_shape(B, G)
     pts_p, n = _pad_rows(pts_g.astype(jnp.float32), TILE_INV)
-    vol = vol_qz.astype(jnp.bfloat16 if prec == "bf16" else jnp.float32)
+    dt = jnp.bfloat16 if prec == "bf16" else jnp.float32
+    vol = jnp.pad(vol_xq, ((0, BP - B), (0, 0), (0, 0))).astype(dt)
+    sz, _ = _sum_mats(G, dt)
+    rxs, rys, rzs = _seg_vectors(rg.astype(jnp.float32),
+                                 tg.astype(jnp.float32), G, BP)
+    NG = BP // NGB
     grid = (pts_p.shape[0] // TILE_INV,)
-    kern = functools.partial(_inverse_fwd_kernel, B=B, G=G, prec=prec)
+    kern = functools.partial(_inverse_fwd_kernel, BP=BP, G=G, prec=prec)
+    seg_spec = pl.BlockSpec((NG, 4, 128), lambda i: (0, 0, 0),
+                            memory_space=pltpu.VMEM)
     acc = pl.pallas_call(
         kern,
         grid=grid,
         in_specs=[
             pl.BlockSpec((TILE_INV, 3), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((B, 9), lambda i: (0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((B, 3), lambda i: (0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((B, G * G, G), lambda i: (0, 0, 0),
+            seg_spec, seg_spec, seg_spec,
+            pl.BlockSpec((BP, G, G * G), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((G * G, G), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((TILE_INV, 4), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((pts_p.shape[0], 4), jnp.float32),
         interpret=_interpret(),
-    )(pts_p, rg.astype(jnp.float32), tg.astype(jnp.float32), vol)
-    return acc[:n], (pts_g, rg, tg, vol_qz)
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 2**20),
+    )(pts_p, rxs, rys, rzs, vol, sz)
+    return acc[:n], (pts_g, rg, tg, vol_xq)
 
 
 def _inverse_bwd(prec, res, gacc):
-    pts_g, rg, tg, vol_qz = res
-    B, QQ, G = vol_qz.shape
+    pts_g, rg, tg, vol_xq = res
+    B, G, QQ = vol_xq.shape
+    NGB, BP = _pack_shape(B, G)
+    NG = BP // NGB
     pts_p, n = _pad_rows(pts_g.astype(jnp.float32), TILE_INV)
     gacc_p, _ = _pad_rows(gacc.astype(jnp.float32), TILE_INV)
-    # transposed layout [B, G(z), G*G] for the V-trick (see kernel doc)
-    volt = jnp.swapaxes(vol_qz, 1, 2).astype(
-        jnp.bfloat16 if prec == "bf16" else jnp.float32)
+    dt = jnp.bfloat16 if prec == "bf16" else jnp.float32
+    vol = jnp.pad(vol_xq, ((0, BP - B), (0, 0), (0, 0))).astype(dt)
+    sz, sy = _sum_mats(G, dt)
+    lane = np.arange(128)
+    kseg = jnp.asarray((lane[:, None] // G) == (lane[None, :] // G),
+                       jnp.float32)
+    rxs, rys, rzs = _seg_vectors(rg.astype(jnp.float32),
+                                 tg.astype(jnp.float32), G, BP)
     grid = (pts_p.shape[0] // TILE_INV,)
-    kern = functools.partial(_inverse_bwd_kernel, B=B, G=G, prec=prec)
-    dpts, drgt, dtg, dvol = pl.pallas_call(
+    kern = functools.partial(_inverse_bwd_kernel, BP=BP, G=G, prec=prec)
+    seg_spec = pl.BlockSpec((NG, 4, 128), lambda i: (0, 0, 0),
+                            memory_space=pltpu.VMEM)
+    dpts, dr, dvol = pl.pallas_call(
         kern,
         grid=grid,
         in_specs=[
             pl.BlockSpec((TILE_INV, 3), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((B, 9), lambda i: (0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((B, 3), lambda i: (0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((B, G, G * G), lambda i: (0, 0, 0),
+            seg_spec, seg_spec, seg_spec,
+            pl.BlockSpec((BP, G, G * G), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((G * G, G), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((G * G, G), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((128, 128), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((TILE_INV, 4), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
@@ -348,27 +505,27 @@ def _inverse_bwd(prec, res, gacc):
         out_specs=[
             pl.BlockSpec((TILE_INV, 3), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((B, 3, 3), lambda i: (0, 0, 0),
+            pl.BlockSpec((NG, 3, 4, 128), lambda i: (0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((B, 1, 3), lambda i: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((B, G * G, G), lambda i: (0, 0, 0),
+            pl.BlockSpec((BP, G, G * G), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((pts_p.shape[0], 3), jnp.float32),
-            jax.ShapeDtypeStruct((B, 3, 3), jnp.float32),
-            jax.ShapeDtypeStruct((B, 1, 3), jnp.float32),
-            jax.ShapeDtypeStruct((B, QQ, G), jnp.float32),
+            jax.ShapeDtypeStruct((NG, 3, 4, 128), jnp.float32),
+            jax.ShapeDtypeStruct((BP, G, QQ), jnp.float32),
         ],
         interpret=_interpret(),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 2**20),
-    )(pts_p, rg.astype(jnp.float32), tg.astype(jnp.float32), volt, gacc_p)
-    drg = jnp.swapaxes(drgt, 1, 2)  # the kernel stores dRg transposed
-    return (dpts[:n].astype(pts_g.dtype),
-            drg.reshape(B, 9).astype(rg.dtype),
-            dtg.reshape(B, 3).astype(tg.dtype), dvol.astype(vol_qz.dtype))
+    )(pts_p, rxs, rys, rzs, vol, sz, sy, kseg, gacc_p)
+    # dr[g, c, k, G*j] = sum_t p_k * df_c for bone NGB*g + j
+    sub = dr[:, :, :, G * np.arange(NGB)]          # [NG, 3, 4, NGB]
+    sub = jnp.transpose(sub, (0, 3, 1, 2)).reshape(BP, 3, 4)
+    drg = sub[:B, :, :3].reshape(B, 9)
+    dtg = sub[:B, :, 3]
+    return (dpts[:n].astype(pts_g.dtype), drg.astype(rg.dtype),
+            dtg.astype(tg.dtype), dvol[:B].astype(vol_xq.dtype))
 
 
 inverse_core.defvjp(lambda p, r, t, v, prec: _inverse_fwd(p, r, t, v, prec),
@@ -560,10 +717,10 @@ def inverse_lbs(pts, motion_scale_Rs, motion_Ts, motion_weights_vol,
     # f = s * (R p + T) + o  =>  Rg = diag(s) R, Tg = s*T + o
     rg = (motion_scale_Rs * s[None, :, None]).reshape(B, 9)
     tg = motion_Ts * s[None, :] + o[None, :]
-    # vol[b, z, y, x] -> [b, y*G+x, z]
-    vol_qz = jnp.transpose(motion_weights_vol[:B], (0, 2, 3, 1)).reshape(
-        B, G * G, G)
-    acc = inverse_core(pts, rg, tg, vol_qz, precision)
+    # vol[b, z, y, x] -> [b, x, y*G+z] (factorized-kernel layout)
+    vol_xq = jnp.transpose(motion_weights_vol[:B], (0, 3, 2, 1)).reshape(
+        B, G, G * G)
+    acc = inverse_core(pts, rg, tg, vol_xq, precision)
     wsum = acc[:, 3:4]
     m = jnp.maximum(wsum, 1e-4)
     # grid-space accumulator back to world: p = (f - o)/s
