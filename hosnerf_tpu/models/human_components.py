@@ -159,7 +159,23 @@ def _blockwise_transposed_conv_init(gain: float, ksize_eff: int):
 
 class ConvTranspose3dTorch(nn.Module):
     """ConvTranspose3d(k=4, s=2, p=1) with torch semantics on NDHWC inputs:
-    output spatial size = 2x input. Implemented as an lhs-dilated conv."""
+    output spatial size = 2x input.
+
+    Implemented as a PHASE-DECOMPOSED MATMUL rather than an lhs-dilated
+    conv: each of the 8 output phases (parities of the output index per
+    dim) receives exactly 2 taps per dimension, so
+
+        y[2i+p] = K[2-2p? see map] terms ->
+        p=0: y[2i]   = K[0] x[i-1] + K[2] x[i]
+        p=1: y[2i+1] = K[1] x[i]   + K[3] x[i+1]
+
+    per dimension; in 3D each phase is one [N^3, 8*cin] @ [8*cin, cout]
+    matmul over shifted views, then the phases interleave by reshape.
+    Numerically identical to the dilated conv (same parameters, same
+    contraction, reassociated). Why: XLA's CPU backend executes the
+    lhs-dilated 3D conv with a naive loop — measured 11.7 s forward /
+    18.6 s backward for the final decoder layer alone — and the matmul
+    form is also the MXU-native shape on TPU."""
 
     features: int
     gain: float = LEAKY02_GAIN
@@ -174,13 +190,35 @@ class ConvTranspose3dTorch(nn.Module):
             (k, k, k, cin, self.features))
         bias = self.param("bias", nn.initializers.zeros_init(),
                           (self.features,))
-        y = jax.lax.conv_general_dilated(
-            x, kernel,
-            window_strides=(1, 1, 1),
-            padding=[(2, 2)] * 3,
-            lhs_dilation=(2, 2, 2),
-            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
-        )
+        n, d, h, w = x.shape[0], x.shape[1], x.shape[2], x.shape[3]
+        xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (1, 1), (0, 0)))
+
+        # per-dim tap map: phase 0 reads shifts (x[i-1], x[i]) with kernel
+        # rows (0, 2); phase 1 reads (x[i], x[i+1]) with rows (1, 3).
+        taps = {0: ((0, 0), (1, 2)), 1: ((1, 1), (2, 3))}
+
+        phases = []
+        for pz in (0, 1):
+            for py in (0, 1):
+                for px in (0, 1):
+                    slabs, rows = [], []
+                    for az, tz in taps[pz]:
+                        for ay, ty in taps[py]:
+                            for ax, tx in taps[px]:
+                                slabs.append(jax.lax.dynamic_slice(
+                                    xp, (0, az, ay, ax, 0),
+                                    (n, d, h, w, cin)))
+                                rows.append(kernel[tz, ty, tx])
+                    lhs = jnp.concatenate(slabs, axis=-1)
+                    rhs = jnp.concatenate(rows, axis=0)  # [8*cin, cout]
+                    phases.append(
+                        jnp.einsum("ndhwc,co->ndhwo", lhs, rhs,
+                                   precision=jax.lax.Precision.HIGHEST))
+        # [2(pz),2(py),2(px), n,d,h,w,co] -> interleave into (2d,2h,2w)
+        y = jnp.stack(phases, 0).reshape(
+            2, 2, 2, n, d, h, w, self.features)
+        y = jnp.transpose(y, (3, 4, 0, 5, 1, 6, 2, 7)).reshape(
+            n, 2 * d, 2 * h, 2 * w, self.features)
         return y + bias
 
 
