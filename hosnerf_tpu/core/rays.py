@@ -109,6 +109,79 @@ def integrated_pos_enc(mean: jnp.ndarray, var: jnp.ndarray, min_deg: int, max_de
     )
 
 
+def contracted_lifted_gaussians(origins, directions, radii, t_vals,
+                                basis, ray_shape: str = "cone"):
+    """Fused ``cast_rays(diag=False)`` -> ``contract`` ->
+    ``lift_and_diagonalize``: returns (lifted_means [..., S, m],
+    lifted_vars [..., S, m]) with NO [..., 3, 3] intermediates.
+
+    Identical math to the composed path (ref helper.py:26-65,242-302),
+    exploiting two rank-1 + isotropic structures:
+
+    * the frustum covariance is  S = r_var * I + a * d d^T  with
+      a = t_var - r_var/|d|^2  (lift_gaussian's d_outer/null_outer);
+    * the contraction Jacobian is  J = s*I + c*x x^T  (symmetric), so for
+      each basis column p:  q = J p = s p + c (x.p) x  and
+      var_p = p^T J S J p = r_var |q|^2 + a (q.d)^2.
+
+    The composed path materializes [N, 3, 3] tensors whose trailing 3x3
+    dims tile to (4, 128) on TPU — ~2% lane utilization; measured 8.7 ms
+    of a 30 ms stage-3 scene forward at the 2-patch batch. This form is
+    all [N]- and [N, m]-major arrays. Outputs are stop_gradient'd exactly
+    like ``contract`` (the reference detaches, helper.py:57-60).
+    """
+    t0, t1 = t_vals[..., :-1], t_vals[..., 1:]
+    if ray_shape == "cone":
+        mu = (t0 + t1) / 2.0
+        hw = (t1 - t0) / 2.0
+        denom = jnp.maximum(3.0 * mu**2 + hw**2, EPS)
+        t_mean = mu + (2.0 * mu * hw**2) / denom
+        t_var = (hw**2 / 3.0
+                 - (4.0 / 15.0) * hw**4 * (12.0 * mu**2 - hw**2) / denom**2)
+        r_var = (mu**2 / 4.0 + (5.0 / 12.0) * hw**2
+                 - (4.0 / 15.0) * hw**4 / denom) * radii**2
+    elif ray_shape == "cylinder":
+        t_mean = (t0 + t1) / 2.0
+        t_var = (t1 - t0) ** 2 / 12.0
+        r_var = jnp.broadcast_to(radii**2 / 4.0, t_mean.shape)
+    else:
+        raise ValueError(f"unknown ray_shape {ray_shape!r}")
+
+    d = directions                                   # [..., 3] per ray
+    d_mag_sq = jnp.maximum(jnp.sum(d**2, axis=-1, keepdims=True), 1e-10)
+    x = origins[..., None, :] + d[..., None, :] * t_mean[..., None]
+
+    # covariance structure:  S = beta * I + alpha * d d^T
+    beta = r_var                                     # [..., S]
+    alpha = t_var - r_var / d_mag_sq                 # [..., S]
+
+    # Jacobian structure:  J = s * I + c * x x^T  (contract_jacobian)
+    r_sq = jnp.maximum(jnp.sum(x**2, axis=-1), 1e-32)   # [..., S]
+    r = jnp.sqrt(r_sq)
+    inside = r_sq <= 1.0
+    s = jnp.where(inside, 1.0, (2.0 * r - 1.0) / r_sq)
+    c = jnp.where(inside, 0.0, (2.0 - 2.0 * r) / (r_sq * r_sq))
+
+    # per-sample scalars against the basis [3, m]
+    xp = jnp.matmul(x, basis, precision=_PREC)          # [..., S, m]
+    dp = jnp.matmul(d, basis, precision=_PREC)          # [..., m] per ray
+    xd = jnp.sum(x * d[..., None, :], axis=-1)          # [..., S]
+    p_sq = jnp.sum(basis * basis, axis=0)               # [m]
+
+    # q = J p:   q.d = s (p.d) + c (x.p)(x.d);
+    #            |q|^2 = s^2 |p|^2 + (2 s c + c^2 |x|^2) (x.p)^2
+    cxp = c[..., None] * xp
+    qd = (s[..., None] * dp[..., None, :] + cxp * xd[..., None])
+    q_sq = (s[..., None] ** 2 * p_sq
+            + (2.0 * s * c + c**2 * r_sq)[..., None] * xp**2)
+    lifted_vars = beta[..., None] * q_sq + alpha[..., None] * qd**2
+
+    new_mean = contract_points(x)
+    lifted_means = jnp.matmul(new_mean, basis, precision=_PREC)
+    return (jax.lax.stop_gradient(lifted_means),
+            jax.lax.stop_gradient(lifted_vars))
+
+
 def pos_enc(x: jnp.ndarray, min_deg: int, max_deg: int, append_identity: bool = True):
     """Classic NeRF sinusoidal positional encoding. ref: helper.py:80-87."""
     scales = 2.0 ** jnp.arange(min_deg, max_deg, dtype=x.dtype)

@@ -59,6 +59,12 @@ class MipMLP(nn.Module):
     basis_subdivision: int = 2
     disable_rgb: bool = False
     state_embedding_size: int = 64
+    # when True, the `gaussians` argument is the PRE-LIFTED
+    # (lifted_means, lifted_vars) pair from
+    # core/rays.contracted_lifted_gaussians (the fused scene hot path —
+    # no [N,3,3] intermediates); False = raw (means [N,3], covs [N,3,3])
+    # contracted/lifted here (the reference-shaped path, golden-tested)
+    lifted_inputs: bool = False
     # computation dtype for the MLP trunks (params stay f32). bf16 runs
     # the big matmuls at the MXU's full rate; the IPE features, the
     # density/bottleneck/rgb heads, and all compositing stay f32 (the
@@ -77,9 +83,12 @@ class MipMLP(nn.Module):
     def predict_density(self, means, covs, state_idx, randomized=False,
                         rng=None):
         """ref: model.py:126-222."""
-        means, covs = ray_math.contract(means, covs)
-        lifted_means, lifted_vars = ray_math.lift_and_diagonalize(
-            means, covs, self.pos_basis)
+        if self.lifted_inputs:
+            lifted_means, lifted_vars = means, covs
+        else:
+            means, covs = ray_math.contract(means, covs)
+            lifted_means, lifted_vars = ray_math.lift_and_diagonalize(
+                means, covs, self.pos_basis)
         x = ray_math.integrated_pos_enc(
             lifted_means, lifted_vars, self.min_deg_point, self.max_deg_point)
 
@@ -118,7 +127,8 @@ class MipMLP(nn.Module):
         density = jax.nn.softplus(raw_density + self.density_bias)
 
         if self.disable_rgb:
-            return {"density": density, "rgb": jnp.zeros_like(means)}
+            return {"density": density,
+                    "rgb": jnp.zeros(means.shape[:-1] + (3,), means.dtype)}
 
         bottleneck = TorchLinear(self.bottleneck_width, name="bottleneck_layer")(x)
         if self.bottleneck_noise > 0.0 and randomized:
@@ -196,12 +206,17 @@ class SceneField(nn.Module):
             mlps.append(mlp_cls(
                 num_states=self.num_states, netdepth=self.prop_netdepth,
                 netwidth=self.prop_netwidth, disable_rgb=True,
-                compute_dtype=cdt, name=f"prop_mlp_{i}"))
+                compute_dtype=cdt, lifted_inputs=True,
+                name=f"prop_mlp_{i}"))
         mlps.append(mlp_cls(
             num_states=self.num_states, netdepth=self.nerf_netdepth,
             netwidth=self.nerf_netwidth, compute_dtype=cdt,
-            name="nerf_mlp"))
+            lifted_inputs=True, name="nerf_mlp"))
         self.mlps = mlps
+        # the MipMLPs consume pre-lifted features; the basis is computed
+        # once here (identical to MipMLP's own, ref model.py:107-110)
+        self.pos_basis = jnp.asarray(geopoly.generate_basis(
+            MipMLP.basis_shape, MipMLP.basis_subdivision))
 
     def _apply_mlp(self, mlp, gaussians, viewdirs, state_idx, randomized,
                    mlp_rng):
@@ -299,9 +314,11 @@ class SceneField(nn.Module):
 
             tdist = s_to_t(sdist)
 
-            gaussians = ray_math.cast_rays(
-                tdist, batch["rays_o"], batch["rays_d"], batch["radii"],
-                self.ray_shape, diag=False)
+            # fused cast -> contract -> lift (no [N,3,3] intermediates;
+            # see core/rays.contracted_lifted_gaussians)
+            gaussians = ray_math.contracted_lifted_gaussians(
+                batch["rays_o"], batch["rays_d"], batch["radii"], tdist,
+                self.pos_basis, self.ray_shape)
             if self.disable_integration:
                 gaussians = (gaussians[0], jnp.zeros_like(gaussians[1]))
 

@@ -103,3 +103,24 @@ def test_generate_basis(shape, expected_n):
     # no two columns are reflections or duplicates of each other
     dots = np.abs(basis.T @ basis) - np.eye(expected_n)
     assert dots.max() < 1.0 - 1e-4
+
+
+@pytest.mark.parametrize("shape", ["cone", "cylinder"])
+def test_contracted_lifted_gaussians_matches_composed_path(shape):
+    """The fused scene hot path (no [N,3,3] intermediates) is numerically
+    identical to cast_rays(diag=False) -> contract -> lift_and_diagonalize."""
+    rng = np.random.default_rng(3)
+    R, S = 32, 17
+    o = jnp.asarray(rng.normal(0, 2, (R, 3)), jnp.float32)
+    d = jnp.asarray(rng.normal(0, 1, (R, 3)), jnp.float32)
+    radii = jnp.asarray(rng.uniform(0.001, 0.01, (R, 1)), jnp.float32)
+    t = jnp.sort(jnp.asarray(rng.uniform(0.1, 60.0, (R, S + 1)),
+                             jnp.float32), axis=-1)
+    basis = jnp.asarray(geopoly.generate_basis("icosahedron", 2))
+
+    means, covs = rays.cast_rays(t, o, d, radii, shape, diag=False)
+    cm, cc = rays.contract(means, covs)
+    lm, lv = rays.lift_and_diagonalize(cm, cc, basis)
+    lm2, lv2 = rays.contracted_lifted_gaussians(o, d, radii, t, basis, shape)
+    np.testing.assert_allclose(lm, lm2, atol=1e-6)
+    np.testing.assert_allclose(lv, lv2, atol=2e-6)
