@@ -193,24 +193,33 @@ class ConvTranspose3dTorch(nn.Module):
         n, d, h, w = x.shape[0], x.shape[1], x.shape[2], x.shape[3]
         xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (1, 1), (0, 0)))
 
-        # per-dim tap map: phase 0 reads shifts (x[i-1], x[i]) with kernel
-        # rows (0, 2); phase 1 reads (x[i], x[i+1]) with rows (1, 3).
-        taps = {0: ((0, 0), (1, 2)), 1: ((1, 1), (2, 3))}
+        # per-dim tap map: phase p reads input shifts (a + p) for a in
+        # {0, 1} against kernel rows t = 2a + p — i.e. phase 0 reads
+        # (x[i-1], x[i]) with rows (0, 2), phase 1 reads (x[i], x[i+1])
+        # with rows (1, 3). Because t = 2a + p, ALL eight phase weight
+        # matrices are one reshape+transpose of the kernel — no
+        # per-row gathers (whose adjoint scatters kernel-sized pad
+        # chains: 9 pads over the [4,4,4,1024,512] grad measured 78 s
+        # of the virtual-8-device CPU dryrun step, and a few ms/step
+        # on TPU).
+        kr = kernel.reshape(2, 2, 2, 2, 2, 2, cin, self.features)
+        # (az,pz, ay,py, ax,px, ci, co) -> (pz,py,px, az,ay,ax, ci, co)
+        rhs_all = jnp.transpose(kr, (1, 3, 5, 0, 2, 4, 6, 7)).reshape(
+            8, 8 * cin, self.features)
 
         phases = []
         for pz in (0, 1):
             for py in (0, 1):
                 for px in (0, 1):
-                    slabs, rows = [], []
-                    for az, tz in taps[pz]:
-                        for ay, ty in taps[py]:
-                            for ax, tx in taps[px]:
+                    slabs = []
+                    for az in (0, 1):
+                        for ay in (0, 1):
+                            for ax in (0, 1):
                                 slabs.append(jax.lax.dynamic_slice(
-                                    xp, (0, az, ay, ax, 0),
+                                    xp, (0, az + pz, ay + py, ax + px, 0),
                                     (n, d, h, w, cin)))
-                                rows.append(kernel[tz, ty, tx])
                     lhs = jnp.concatenate(slabs, axis=-1)
-                    rhs = jnp.concatenate(rows, axis=0)  # [8*cin, cout]
+                    rhs = rhs_all[(pz * 2 + py) * 2 + px]
                     phases.append(
                         jnp.einsum("ndhwc,co->ndhwo", lhs, rhs,
                                    precision=jax.lax.Precision.HIGHEST))
