@@ -33,7 +33,21 @@ star is >=5x reference-GPU rays/sec/chip.
 import json
 import time
 
+import os
+
 import jax
+
+# Persist compiles next to the repo: the stage-3 step is a multi-minute
+# XLA compile through the tunnel; repeat bench runs should pay it once.
+try:
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+except Exception:
+    pass
+
 import jax.numpy as jnp
 
 from hosnerf_tpu.data import synthetic

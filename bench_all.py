@@ -7,9 +7,20 @@ Reference sizes: stage 1 = 4096 rays x (64+64+32) samples; stages 2/3 =
 """
 
 import json
+import os
 import time
 
 import jax
+
+try:
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+except Exception:
+    pass
+
 import jax.numpy as jnp
 import numpy as np
 
