@@ -17,6 +17,18 @@ import jax  # noqa: E402
 # 8-device CPU backend.
 jax.config.update("jax_platforms", "cpu")
 
+# Persist XLA compiles across suite runs: on this 1-core host the suite is
+# compile-bound (~33 min cold), and test shapes are deterministic, so warm
+# reruns skip most of it.
+try:
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
+except Exception:
+    pass
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
