@@ -196,7 +196,8 @@ def run_scene(args) -> None:
             params, opt_state, loop_rng)
 
     step_fn = jax.jit(stage1.make_train_step(cfg, model, opt, transitions))
-    eval_step = jax.jit(stage1.make_eval_step(cfg, model, transitions))
+    eval_step = pmesh.shard_eval_fn(
+        jax.jit(stage1.make_eval_step(cfg, model, transitions)), mesh)
 
     if args.run_mode == "train":
         def val_fn(carry, step):
@@ -313,6 +314,8 @@ def run_human(args) -> None:
         s_idx = state_index(b["time"], trans) if "time" in b else 0
         return model.apply({"params": p}, b, 10**7, s_idx,
                            is_train=False)["rgb"]
+
+    render_fn = pmesh.shard_eval_fn(render_fn, mesh)
 
     if args.run_mode == "train":
         # in-training progress eval + empty-render trap
@@ -446,6 +449,8 @@ def run_hosnerf(args) -> None:
             cfg, scene_model, human_model, p, b, 10**7, s_idx)
         return comp["rgb"]
 
+    render_fn = pmesh.shard_eval_fn(render_fn, mesh)
+
     if args.run_mode == "train":
         prog_ds = HumanDataset(datadir, mode="progress",
                                use_scaleworld=True, seed=args.seed)
@@ -478,6 +483,8 @@ def run_hosnerf(args) -> None:
                      else jnp.int32(0))
             return human_model.apply({"params": p["human"]}, b, 10**7,
                                      s_idx, is_train=False)["rgb"]
+
+        tpose_render_fn = pmesh.shard_eval_fn(tpose_render_fn, mesh)
 
         if args.run_mode == "eval":
             out = renderers.full_human_eval(

@@ -60,3 +60,22 @@ def pad_to_multiple(x: np.ndarray, multiple: int, axis: int = 0):
         return x, n
     pad = np.repeat(np.take(x, [0], axis=axis), rem, axis=axis)
     return np.concatenate([x, pad], axis=axis), n
+
+
+def shard_eval_fn(fn, mesh: Mesh):
+    """Wrap an eval callable `fn(params, batch) -> array` so every call
+    shards the batch's ray-leading arrays over the data mesh (the rest
+    replicated) — the TPU-native analog of the reference's DDP eval
+    (rank-strided eval rays + all_gather reassembly,
+    ref: 1st.../src/model/interface.py:30-39, src/data/sampler.py:39-50).
+    XLA splits the per-ray compute across devices and gathers the output;
+    the host sees one full-chunk array as before. 1-device mesh: returned
+    unchanged (no host round-trips added)."""
+    if mesh.size == 1:
+        return fn
+    rep = replicated(mesh)
+
+    def wrapped(params, batch):
+        return fn(jax.device_put(params, rep), shard_batch(batch, mesh))
+
+    return wrapped

@@ -162,3 +162,45 @@ def test_scene_mlp_chunked_per_ray_states(tiny_setup):
                                s_idx, cfg.near, cfg.far)
     np.testing.assert_allclose(np.asarray(chunk_r[-1]["rgb"]),
                                np.asarray(dense_r[-1]["rgb"]), atol=1e-6)
+
+
+def test_shard_eval_fn_matches_single_device():
+    """Mesh-sharded eval (shard_eval_fn) returns the same values as the
+    plain single-device eval step, with the chunk's ray axis actually
+    split across the 8 virtual devices (the DDP-eval analog,
+    ref: 1st.../src/model/interface.py:30-39)."""
+    assert len(jax.devices()) == 8
+    cfg = stage1.Stage1Config(max_steps=10, near=0.5, far=20.0,
+                              lr_delay_steps=0, **TINY)
+    batch = {k: jnp.asarray(v)
+             for k, v in synthetic.scene_ray_batch(128).items()}
+    params, _, model = stage1.init_state(cfg, jax.random.key(0), batch)
+    eval_step = jax.jit(stage1.make_eval_step(cfg, model))
+
+    host_batch = synthetic.scene_ray_batch(128)
+    single = np.asarray(eval_step(
+        params, {k: jnp.asarray(v) for k, v in host_batch.items()}))
+
+    m = pmesh.make_mesh()
+    sharded_fn = pmesh.shard_eval_fn(eval_step, m)
+    seen = {}
+    orig_shard_batch = pmesh.shard_batch
+
+    def spy(b, mesh):
+        out = orig_shard_batch(b, mesh)
+        seen["devices"] = len(out["rays_o"].sharding.device_set)
+        return out
+
+    pmesh.shard_batch = spy
+    try:
+        sharded = np.asarray(sharded_fn(params, host_batch))
+    finally:
+        pmesh.shard_batch = orig_shard_batch
+    assert seen["devices"] == 8
+    np.testing.assert_allclose(sharded, single, rtol=1e-5, atol=1e-6)
+
+
+def test_shard_eval_fn_single_device_mesh_passthrough():
+    m1 = pmesh.make_mesh(jax.devices()[:1])
+    fn = lambda p, b: b  # noqa: E731
+    assert pmesh.shard_eval_fn(fn, m1) is fn
