@@ -36,9 +36,11 @@ import numpy as np
 
 REF3 = "/root/reference/3rd_Complete_HOSNeRF"
 N_PATCHES = 2
-PATCH = 8           # 2 x 8x8 = 128 rays: keeps torch-CPU iters ~10-30 s
+# 2 x 8x8 = 128 rays keeps torch-CPU iters ~10-30 s; AB_PATCH=32 measures
+# the production 2048-ray batch (several minutes per torch iter)
+PATCH = int(os.environ.get("AB_PATCH", 8))
 GRID = 32
-ITERS = 2
+ITERS = int(os.environ.get("AB_ITERS", 2))
 REPO = os.path.dirname(os.path.abspath(__file__))
 
 
