@@ -78,7 +78,28 @@ def analytic_flops_per_step(cfg) -> float:
     return 4.0 * (prop + nerf + cnl + nr + lbs)
 
 
+def _require_live_backend(timeout_s: int = 180) -> None:
+    """Fail fast with a clear message if the accelerator is unreachable:
+    with the TPU tunnel down, in-process jax.devices() blocks ~20 min
+    before raising. The probe runs in a time-bounded subprocess."""
+    import subprocess
+    import sys
+    try:
+        probe = subprocess.run(
+            [sys.executable, "-c", "import jax; print(jax.devices())"],
+            capture_output=True, text=True, timeout=timeout_s)
+        if probe.returncode == 0:
+            return
+        detail = probe.stderr.strip().splitlines()[-1:]
+    except subprocess.TimeoutExpired:
+        detail = [f"backend init still blocked after {timeout_s}s"]
+    raise SystemExit(
+        "bench.py: accelerator backend unreachable (TPU tunnel down?); "
+        "refusing to benchmark. " + " ".join(detail))
+
+
 def main():
+    _require_live_backend()
     # bf16 MLP trunks: the production default. Measured quality-neutral
     # on convergence probes (stage-1 300 steps: 43.1 dB bf16 vs 42.5 dB
     # f32; stage-2 200 steps: loss 0.053 bf16 vs 0.058 f32) and ~7%
