@@ -192,16 +192,76 @@ def bench_ours(np_batch) -> float:
     return (time.perf_counter() - t0) / ITERS
 
 
+def bench_reference_stage1(np_batch) -> float:
+    """Reference stage-1 scene model (MipNeRF360, production sizes:
+    2 PropMLP + 8x1024 NeRFMLP, 64/64/32 samples, functorch contraction
+    jacobian) forward + backward — excludes its losses/optimizer."""
+    import torch
+    torch.set_num_threads(os.cpu_count() or 1)
+    scene, _, _ = _load_reference_models()
+    b = {k: torch.from_numpy(np.asarray(v)).float()
+         for k, v in np_batch.items()}
+    batch = {"rays_o": b["rays_o"], "rays_d": b["rays_d"],
+             "viewdirs": b["viewdirs"], "radii": b["radii"],
+             "times": b["times"]}
+
+    def one_step():
+        _, ray_history = scene(batch, 1.0, True, True, 0.5, 1e6)
+        loss = sum(h["rgb"].mean() + h["density"].mean()
+                   + h["weights"].mean() for h in ray_history)
+        scene.zero_grad(set_to_none=True)
+        loss.backward()
+        return float(loss.detach())
+
+    one_step()
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        one_step()
+    return (time.perf_counter() - t0) / ITERS
+
+
+def bench_ours_stage1(np_batch) -> float:
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    from hosnerf_tpu.train import stage1
+
+    cfg = stage1.Stage1Config(max_steps=500_000, near=0.5, far=1e6)
+    batch = {k: jnp.asarray(v) for k, v in np_batch.items()}
+    params, opt_state, model = stage1.init_state(cfg, jax.random.key(0),
+                                                 batch)
+    opt = stage1.make_optimizer(cfg)
+    step = jax.jit(stage1.make_train_step(cfg, model, opt))
+    rng = jax.random.key(1)
+    out = step(params, opt_state, batch, jnp.float32(100.0), rng)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for i in range(ITERS):
+        out = step(params, opt_state, batch, jnp.float32(100.0 + i),
+                   jax.random.fold_in(rng, i))
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / ITERS
+
+
 def main():
     sys.path.insert(0, REPO)
     from hosnerf_tpu.data import synthetic
-    np_batch = synthetic.composed_batch(N_PATCHES, PATCH, grid_size=GRID)
 
-    ours = bench_ours(np_batch)
-    ref = bench_reference(np_batch)
-    rays = N_PATCHES * PATCH * PATCH
+    if os.environ.get("AB_STAGE", "3") == "1":
+        rays = N_PATCHES * PATCH * PATCH
+        np_batch = synthetic.scene_ray_batch(rays)
+        ours = bench_ours_stage1(np_batch)
+        ref = bench_reference_stage1(np_batch)
+        metric = "stage1_cpu_ab_sec_per_step"
+    else:
+        np_batch = synthetic.composed_batch(N_PATCHES, PATCH,
+                                            grid_size=GRID)
+        ours = bench_ours(np_batch)
+        ref = bench_reference(np_batch)
+        rays = N_PATCHES * PATCH * PATCH
+        metric = "stage3_cpu_ab_sec_per_step"
     print(json.dumps({
-        "metric": "stage3_cpu_ab_sec_per_step",
+        "metric": metric,
         "rays": rays,
         "reference_networks_fwd_bwd_sec": round(ref, 3),
         "ours_full_step_sec": round(ours, 3),
