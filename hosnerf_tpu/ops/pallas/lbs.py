@@ -17,18 +17,22 @@ network.py:302-396):
   transforms the points with its own affine before sampling its weight
   channel, so the tap rows are rebuilt per bone. Two measured facts on
   v5e shaped its design:
-    (1) SEPARABLE FACTORIZATION — the x taps are expanded through the
-        MXU (W1 = tx [T,G] @ volx [G, G^2] with the volume relaid as
-        x-rows x (y,z)-cols), so only the y-tap expansion remains a
-        [T, G^2] VPU build, and the y/z reductions ride constant 0/1
-        block-sum matmuls. Halves the big-array VPU passes vs building
-        the xy one-hot rows arithmetically.
+    (1) ONE MATMUL PER BONE, MINIMAL [T, G^2] TRAFFIC — the joint xy
+        tap rows build as ONE fused elementwise chain (hat(fx)*hat(fy),
+        written once in the matmul operand dtype) and contract against
+        the bone volume relaid [G^2(x,y), G(z)] in ONE full-K matmul.
+        This beat both the separable factorization (x-expansion matmul
+        at N=G^2 + y-tap VPU build + product + z-block-sum matmul:
+        fwd 28.7 vs 22.2 ms, grad 58.7 vs 60.1 at 262k samples) and an
+        MXU-tap-expansion variant of it (fwd 37.7, fwd+bwd 116 ms) —
+        matmul issue/stream traffic at N=G^2, not VPU flops, binds this
+        kernel family.
     (2) LANE PACKING — ablation showed ~60% of a per-bone-loop kernel
         was [T,1]/[T,G] column work at 1-of-128-lane utilization (the
         bone affines, small tap rows, accumulator updates), NOT the
         [T, G^2] arrays or matmuls. The kernels therefore process
         128//G bones per vector op: affine coefficient tables are
-        pre-packed per lane ([NG, 4, 128]), tap rows build as [T,128],
+        pre-packed per lane ([NG, 4, 128]), z-tap rows build as [T,128],
         per-bone sums go through a segment-sum matmul, and dRg/dTg
         accumulate via contract-over-T matmuls instead of axis-0 VPU
         reductions. Measured (262k samples, B=26, G=32): forward
@@ -92,7 +96,7 @@ from jax.experimental.pallas import tpu as pltpu
 # no win from bigger tiles (9.6 vs 10.0 ms) and their [T, B*G]
 # intermediates blow the 16 MB scoped-vmem limit at 1024, so they stay
 # at 512.
-TILE_INV = 1024
+TILE_INV = 512
 TILE_SH = 512
 
 _HIGHEST = jax.lax.Precision.HIGHEST
@@ -172,26 +176,6 @@ def _dhat(f0, iota):
 # ---------------------------------------------------------------------------
 # inverse kernel: per-bone positions
 # ---------------------------------------------------------------------------
-#
-# Factorized (separable) formulation: instead of building the full
-# [T, G*G] xy one-hot rows on the VPU (9 elementwise passes per bone —
-# the measured bottleneck of the earlier kernel), expand the x taps
-# through the MXU: W1 = tx_s @ volx with volx laid out [G(x), G*G(y,z)],
-# so only the y-tap expansion remains a [T, G*G] VPU build. The y and z
-# reductions happen on the MXU via constant 0/1 block-sum matrices.
-# Per-bone big-array VPU passes drop ~2x (fwd 9->5, bwd ~24->~14) at the
-# cost of extra small-K matmuls — cycles the previously idle MXU absorbs.
-
-
-def _q2_iotas_f(T: int, G: int):
-    """[T, G*G] y/z coordinate grids for the q2 = y*G + z layout."""
-    iq = jax.lax.broadcasted_iota(jnp.int32, (T, G * G), 1)
-    if G & (G - 1) == 0:
-        sh = G.bit_length() - 1
-        return ((iq >> sh).astype(jnp.float32),
-                (iq & (G - 1)).astype(jnp.float32))
-    return ((iq // G).astype(jnp.float32),
-            jnp.remainder(iq, G).astype(jnp.float32))
 
 
 def _lane_iota_f(T: int, G: int):
@@ -201,23 +185,44 @@ def _lane_iota_f(T: int, G: int):
     return (il & (G - 1)).astype(jnp.float32)
 
 
-def _inverse_fwd_kernel(pts_ref, rxs_ref, rys_ref, rzs_ref, volx_ref,
-                        sz_ref, out_ref, *, BP: int, G: int, prec: str):
+def _xyq_iotas_f(T: int, G: int):
+    """[T, G*G] x/y coordinate grids for the q = x*G + y layout."""
+    iq = jax.lax.broadcasted_iota(jnp.int32, (T, G * G), 1)
+    if G & (G - 1) == 0:
+        sh = G.bit_length() - 1
+        return ((iq >> sh).astype(jnp.float32),
+                (iq & (G - 1)).astype(jnp.float32))
+    return ((iq // G).astype(jnp.float32),
+            jnp.remainder(iq, G).astype(jnp.float32))
+
+
+def _inverse_fwd_kernel(pts_ref, rxs_ref, rys_ref, rzs_ref, volq_ref,
+                        out_ref, *, BP: int, G: int, prec: str):
     """One tile: accumulate grid-space acc (3) + wsum (1) over BP bones,
     processed in groups of NGB = 128//G with the per-bone scalar work
     PACKED onto the 128-lane axis (measured: the [T,1]/[T,G] column ops
     of a per-bone loop were ~60% of the kernel's runtime at G=32 —
-    1-of-128-lane utilization — while the [T,G*G] builds and matmuls
-    were cheap; packing 128//G bones per vector op recovers it).
+    1-of-128-lane utilization; packing 128//G bones per vector op
+    recovers it).
 
     pts_ref [T,3] grid-space points. rxs/rys/rzs [NG, 4, 128]: per
     group g and lane l, rows 0..2 = affine coefficients of that lane's
     bone (bone = NGB*g + l//G) for grid coord x/y/z, row 3 = its
     translation — so f<c>seg = x*r[0] + y*r[1] + z*r[2] + r[3] computes
-    ALL NGB bones' grid coordinate c at once. volx_ref [BP, G, G*G]
-    (x rows, q2 = y*G+z cols); sz_ref [G*G, G] constant z-block-sum
-    (Sz[y*G+z, z'] = (z == z')); out_ref [T,4] = (accx, accy, accz,
-    wsum), all in grid coords.
+    ALL NGB bones' grid coordinate c at once. volq_ref [BP, G*G, G]
+    (q = x*G+y rows, z cols); out_ref [T,4] = (accx, accy, accz, wsum),
+    all in grid coords.
+
+    Per bone, ONE fused [T, G*G] elementwise chain builds the joint xy
+    tap rows (hat(fx) * hat(fy), written once in the matmul operand
+    dtype) and ONE full-K matmul contracts them against the bone's
+    volume ([T,G*G] @ [G*G,G] -> [T,G] z-columns). This minimizes big-
+    array VMEM traffic: the earlier separable form (x-expansion matmul
+    at N=G*G + y-tap build + product + z-block-sum matmul) touched the
+    [T, G*G] plane ~4x per bone (measured numbers in the module
+    docstring; an MXU-tap-expansion variant of it was slower still —
+    matmul issue/traffic, not VPU flops, binds this kernel family).
+    The z taps stay lane-packed ([T,128] hat over 128//G bones).
     """
     NGB = 128 // G
     NG = BP // NGB
@@ -226,7 +231,8 @@ def _inverse_fwd_kernel(pts_ref, rxs_ref, rys_ref, rzs_ref, volx_ref,
     z = pts_ref[:, 2:3]
     T = x.shape[0]
     x128 = _lane_iota_f(T, G)
-    yq2, _ = _q2_iotas_f(T, G)
+    xq2, yq2 = _xyq_iotas_f(T, G)
+    dt = jnp.bfloat16 if prec == "bf16" else jnp.float32
 
     def group(g, acc):
         fxseg = (x * rxs_ref[g, 0:1, :] + y * rxs_ref[g, 1:2, :]
@@ -235,14 +241,14 @@ def _inverse_fwd_kernel(pts_ref, rxs_ref, rys_ref, rzs_ref, volx_ref,
                  + z * rys_ref[g, 2:3, :] + rys_ref[g, 3:4, :])
         fzseg = (x * rzs_ref[g, 0:1, :] + y * rzs_ref[g, 1:2, :]
                  + z * rzs_ref[g, 2:3, :] + rzs_ref[g, 3:4, :])
-        tx4 = _hat(fxseg, x128)
         tz4 = _hat(fzseg, x128)
         zcs = []
         for j in range(NGB):
             b = NGB * g + j
-            W1 = _mm(tx4[:, G * j:G * (j + 1)], volx_ref[b], prec)
-            ty_exp = _hat(fyseg[:, G * j:G * j + 1], yq2)   # [T, G*G]
-            zcs.append(_mm(W1 * ty_exp, sz_ref[:, :], prec))
+            c = slice(G * j, G * j + 1)
+            oh = (_hat(fxseg[:, c], xq2)
+                  * _hat(fyseg[:, c], yq2)).astype(dt)   # [T, G*G] fused
+            zcs.append(_mm(oh, volq_ref[b], prec))
         zcols4 = jnp.concatenate(zcs, axis=1)               # [T, 128]
         P4 = tz4 * zcols4
         return acc + jnp.concatenate(
@@ -255,30 +261,32 @@ def _inverse_fwd_kernel(pts_ref, rxs_ref, rys_ref, rzs_ref, volx_ref,
                                       jnp.zeros((T, 4), jnp.float32))
 
 
-def _inverse_bwd_kernel(pts_ref, rxs_ref, rys_ref, rzs_ref, volx_ref,
-                        sz_ref, sy_ref, kseg_ref, gacc_ref, dpts_ref,
+def _inverse_bwd_kernel(pts_ref, rxs_ref, rys_ref, rzs_ref, volq_ref,
+                        kseg_ref, gacc_ref, dpts_ref,
                         dr_ref, dvol_ref, *, BP: int, G: int, prec: str):
     """Backward of `_inverse_fwd_kernel` by recomputation, with the same
-    lane packing (NGB = 128//G bones per group).
+    lane packing (NGB = 128//G bones per group) and the same fused-xy-
+    chain + full-K-matmul structure: per bone, three [T, G*G] tap chains
+    (oh = hx*hy, dhx*hy, hx*dhy) each feed one [T,G*G] @ [G*G,G] matmul
+    against the bone volume, giving the z-columns (zc) and the x/y
+    gradient cores as SMALL [T,G] arrays; dvol accumulates via one
+    contract-over-T matmul (oh^T @ (gw*tz) -> [G*G, G]).
 
-    Beyond the forward's packing, two backward-specific costs are moved
-    off the poorly-utilized paths (ablation: the five matmuls were only
-    ~27 of 96 ms — the rest was per-bone column work):
-      * per-bone segment sums (w_b, dfy/dfz cores) go through one
-        [T,128] @ kseg [128,128] 0/1 matmul (segment-broadcast sums)
-        instead of [T,G]-row reductions;
-      * dRg/dTg accumulation contracts over T on the MXU
-        (p4^T @ df4seg -> [4,128]) instead of 8 axis-0 VPU reductions
-        per bone.
+    Two further costs live on the MXU rather than poorly-utilized VPU
+    paths (ablation): per-bone segment sums (w_b, dfz core) go through
+    one [T,128] @ kseg [128,128] 0/1 matmul (segment-broadcast sums)
+    instead of [T,G]-row reductions, and dRg/dTg accumulation contracts
+    over T (p4^T @ df4seg -> [4,128]) instead of 8 axis-0 VPU reductions
+    per bone.
 
-    Inputs as forward plus: sy_ref [G*G, G] y-block-sum; kseg_ref
-    [128, 128] segment-broadcast-sum matrix (1 where lanes share a
-    G-lane segment); gacc_ref [T,4] = (d/d accx, accy, accz, wsum).
+    Inputs as forward plus: kseg_ref [128, 128] segment-broadcast-sum
+    matrix (1 where lanes share a G-lane segment); gacc_ref [T,4] =
+    (d/d accx, accy, accz, wsum).
     Outputs: dpts [T,3] per tile; dr_ref [NG, 3, 4, 128] accumulated
     across sequential tile programs — dr[g, c, k, l] = sum_t
     p_k[t] * df_c[t, bone(g,l)] with p = (x, y, z, 1), from which the
     host reads dRg (k<3) and dTg (k=3) at lanes l = G*j; dvol
-    [BP, G, G*G] (volx layout).
+    [BP, G*G, G] (volq layout).
     """
     NGB = 128 // G
     NG = BP // NGB
@@ -294,7 +302,8 @@ def _inverse_bwd_kernel(pts_ref, rxs_ref, rys_ref, rzs_ref, volx_ref,
     z = pts_ref[:, 2:3]
     T = x.shape[0]
     x128 = _lane_iota_f(T, G)
-    yq2, zq2 = _q2_iotas_f(T, G)
+    xq2, yq2 = _xyq_iotas_f(T, G)
+    dt = jnp.bfloat16 if prec == "bf16" else jnp.float32
 
     gx = gacc_ref[:, 0:1]
     gy = gacc_ref[:, 1:2]
@@ -316,36 +325,38 @@ def _inverse_bwd_kernel(pts_ref, rxs_ref, rys_ref, rzs_ref, volx_ref,
         fzseg = (x * rzs_ref[g, 0:1, :] + y * rzs_ref[g, 1:2, :]
                  + z * rzs_ref[g, 2:3, :] + rzs_ref[g, 3:4, :])
         gw4 = gx * fxseg + gy * fyseg + gz * fzseg + gw_sum
-        tx4 = _hat(fxseg, x128)
         tz4 = _hat(fzseg, x128)
-        dhy4 = _dhat(_clipped_floor(fyseg, G), x128)
         dhz4 = _dhat(_clipped_floor(fzseg, G), x128)
-        dhx4 = _dhat(_clipped_floor(fxseg, G), x128)
 
-        zcs, u1s, dfxrs = [], [], []
+        zcs, dfxrs, dfyrs = [], [], []
         for j in range(NGB):
             b = NGB * g + j
+            c = slice(G * j, G * j + 1)
             s = slice(G * j, G * (j + 1))
-            W1 = _mm(tx4[:, s], volx_ref[b], prec)      # [T, G*G]
-            W1d = _mm(dhx4[:, s], volx_ref[b], prec)    # [T, G*G]
-            ty_exp = _hat(fyseg[:, G * j:G * j + 1], yq2)
-            tz_exp = _hat(fzseg[:, G * j:G * j + 1], zq2)
-            zcs.append(_mm(W1 * ty_exp, sz_ref[:, :], prec))
-            u1s.append(_mm(W1 * tz_exp, sy_ref[:, :], prec))
-            Rty = ty_exp * tz_exp
-            gw_col = gw4[:, G * j:G * j + 1]
-            # dvolx_b[x, q2] += sum_t tx[t,x] * gw[t] * Rty[t,q2]
-            dvol_ref[b, :, :] += _mm(tx4[:, s], gw_col * Rty, prec,
+            hx = _hat(fxseg[:, c], xq2)
+            hy = _hat(fyseg[:, c], yq2)
+            oh = (hx * hy).astype(dt)                   # [T, G*G] fused
+            zc = _mm(oh, volq_ref[b], prec)             # [T, G]
+            m2 = _mm((_dhat(_clipped_floor(fxseg[:, c], G), xq2)
+                      * hy).astype(dt), volq_ref[b], prec)
+            m3 = _mm((hx * _dhat(_clipped_floor(fyseg[:, c], G), yq2)
+                      ).astype(dt), volq_ref[b], prec)
+            tzj = tz4[:, s]                             # [T, G]
+            # dvol_b[q, z] += sum_t oh[t,q] * gw[t] * tz[t,z]
+            dvol_ref[b, :, :] += _mm(oh, gw4[:, c] * tzj, prec,
                                      dims=dims_t)
+            zcs.append(zc)
             dfxrs.append(jnp.broadcast_to(
-                jnp.sum(W1d * Rty, axis=1, keepdims=True), (T, G)))
+                jnp.sum(m2 * tzj, axis=1, keepdims=True), (T, G)))
+            dfyrs.append(jnp.broadcast_to(
+                jnp.sum(m3 * tzj, axis=1, keepdims=True), (T, G)))
         zcols4 = jnp.concatenate(zcs, axis=1)           # [T, 128]
-        U14 = jnp.concatenate(u1s, axis=1)              # [T, 128]
         dfxr4 = jnp.concatenate(dfxrs, axis=1)          # [T, 128]
+        dfyr4 = jnp.concatenate(dfyrs, axis=1)          # [T, 128]
 
         wB4 = segsum(tz4 * zcols4)                      # w_b, seg-bcast
         dfx4 = gx * wB4 + gw4 * dfxr4
-        dfy4 = gy * wB4 + gw4 * segsum(dhy4 * U14)
+        dfy4 = gy * wB4 + gw4 * dfyr4
         dfz4 = gz * wB4 + gw4 * segsum(dhz4 * zcols4)
 
         # dRg/dTg: contract over T on the MXU (see docstring); f32 —
@@ -380,12 +391,6 @@ def _pad_rows(a, mult):
     return a, n
 
 
-def _sum_mats(G: int, dt):
-    """Constant 0/1 block-sum matrices for the q2 = y*G + z layout:
-    Sz[y*G+z, z'] = (z == z'); Sy[y*G+z, y'] = (y == y')."""
-    sz = jnp.asarray(np.kron(np.ones((G, 1)), np.eye(G)), dt)
-    sy = jnp.asarray(np.kron(np.eye(G), np.ones((G, 1))), dt)
-    return sz, sy
 
 
 def _pack_shape(B: int, G: int):
@@ -417,25 +422,24 @@ def _seg_vectors(rg, tg, G: int, BP: int):
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
-def inverse_core(pts_g, rg, tg, vol_xq, prec="bf16"):
+def inverse_core(pts_g, rg, tg, vol_qz, prec="bf16"):
     """Grid-space inverse-LBS accumulation.
 
     pts_g [N,3] grid coords; rg [B,9] / tg [B,3] grid-space bone affines;
-    vol_xq [B, G(x), G*G(y,z)]. Returns acc [N,4] = (sum_b w_b*f_b,
+    vol_qz [B, G*G(x,y), G(z)]. Returns acc [N,4] = (sum_b w_b*f_b,
     sum_b w_b) in grid coordinates. Normalization / world conversion
     stay in XLA.
     """
-    return _inverse_fwd(pts_g, rg, tg, vol_xq, prec)[0]
+    return _inverse_fwd(pts_g, rg, tg, vol_qz, prec)[0]
 
 
-def _inverse_fwd(pts_g, rg, tg, vol_xq, prec):
-    B, G, QQ = vol_xq.shape
+def _inverse_fwd(pts_g, rg, tg, vol_qz, prec):
+    B, QQ, G = vol_qz.shape
     assert QQ == G * G, "inverse_core needs cubic volumes"
     NGB, BP = _pack_shape(B, G)
     pts_p, n = _pad_rows(pts_g.astype(jnp.float32), TILE_INV)
     dt = jnp.bfloat16 if prec == "bf16" else jnp.float32
-    vol = jnp.pad(vol_xq, ((0, BP - B), (0, 0), (0, 0))).astype(dt)
-    sz, _ = _sum_mats(G, dt)
+    vol = jnp.pad(vol_qz, ((0, BP - B), (0, 0), (0, 0))).astype(dt)
     rxs, rys, rzs = _seg_vectors(rg.astype(jnp.float32),
                                  tg.astype(jnp.float32), G, BP)
     NG = BP // NGB
@@ -450,9 +454,7 @@ def _inverse_fwd(pts_g, rg, tg, vol_xq, prec):
             pl.BlockSpec((TILE_INV, 3), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             seg_spec, seg_spec, seg_spec,
-            pl.BlockSpec((BP, G, G * G), lambda i: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((G * G, G), lambda i: (0, 0),
+            pl.BlockSpec((BP, G * G, G), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((TILE_INV, 4), lambda i: (i, 0),
@@ -461,20 +463,19 @@ def _inverse_fwd(pts_g, rg, tg, vol_xq, prec):
         interpret=_interpret(),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 2**20),
-    )(pts_p, rxs, rys, rzs, vol, sz)
-    return acc[:n], (pts_g, rg, tg, vol_xq)
+    )(pts_p, rxs, rys, rzs, vol)
+    return acc[:n], (pts_g, rg, tg, vol_qz)
 
 
 def _inverse_bwd(prec, res, gacc):
-    pts_g, rg, tg, vol_xq = res
-    B, G, QQ = vol_xq.shape
+    pts_g, rg, tg, vol_qz = res
+    B, QQ, G = vol_qz.shape
     NGB, BP = _pack_shape(B, G)
     NG = BP // NGB
     pts_p, n = _pad_rows(pts_g.astype(jnp.float32), TILE_INV)
     gacc_p, _ = _pad_rows(gacc.astype(jnp.float32), TILE_INV)
     dt = jnp.bfloat16 if prec == "bf16" else jnp.float32
-    vol = jnp.pad(vol_xq, ((0, BP - B), (0, 0), (0, 0))).astype(dt)
-    sz, sy = _sum_mats(G, dt)
+    vol = jnp.pad(vol_qz, ((0, BP - B), (0, 0), (0, 0))).astype(dt)
     lane = np.arange(128)
     kseg = jnp.asarray((lane[:, None] // G) == (lane[None, :] // G),
                        jnp.float32)
@@ -491,11 +492,7 @@ def _inverse_bwd(prec, res, gacc):
             pl.BlockSpec((TILE_INV, 3), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             seg_spec, seg_spec, seg_spec,
-            pl.BlockSpec((BP, G, G * G), lambda i: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((G * G, G), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((G * G, G), lambda i: (0, 0),
+            pl.BlockSpec((BP, G * G, G), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((128, 128), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -507,25 +504,25 @@ def _inverse_bwd(prec, res, gacc):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((NG, 3, 4, 128), lambda i: (0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((BP, G, G * G), lambda i: (0, 0, 0),
+            pl.BlockSpec((BP, G * G, G), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((pts_p.shape[0], 3), jnp.float32),
             jax.ShapeDtypeStruct((NG, 3, 4, 128), jnp.float32),
-            jax.ShapeDtypeStruct((BP, G, QQ), jnp.float32),
+            jax.ShapeDtypeStruct((BP, QQ, G), jnp.float32),
         ],
         interpret=_interpret(),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 2**20),
-    )(pts_p, rxs, rys, rzs, vol, sz, sy, kseg, gacc_p)
+    )(pts_p, rxs, rys, rzs, vol, kseg, gacc_p)
     # dr[g, c, k, G*j] = sum_t p_k * df_c for bone NGB*g + j
     sub = dr[:, :, :, G * np.arange(NGB)]          # [NG, 3, 4, NGB]
     sub = jnp.transpose(sub, (0, 3, 1, 2)).reshape(BP, 3, 4)
     drg = sub[:B, :, :3].reshape(B, 9)
     dtg = sub[:B, :, 3]
     return (dpts[:n].astype(pts_g.dtype), drg.astype(rg.dtype),
-            dtg.astype(tg.dtype), dvol[:B].astype(vol_xq.dtype))
+            dtg.astype(tg.dtype), dvol[:B].astype(vol_qz.dtype))
 
 
 inverse_core.defvjp(lambda p, r, t, v, prec: _inverse_fwd(p, r, t, v, prec),
@@ -717,10 +714,10 @@ def inverse_lbs(pts, motion_scale_Rs, motion_Ts, motion_weights_vol,
     # f = s * (R p + T) + o  =>  Rg = diag(s) R, Tg = s*T + o
     rg = (motion_scale_Rs * s[None, :, None]).reshape(B, 9)
     tg = motion_Ts * s[None, :] + o[None, :]
-    # vol[b, z, y, x] -> [b, x, y*G+z] (factorized-kernel layout)
-    vol_xq = jnp.transpose(motion_weights_vol[:B], (0, 3, 2, 1)).reshape(
-        B, G, G * G)
-    acc = inverse_core(pts, rg, tg, vol_xq, precision)
+    # vol[b, z, y, x] -> [b, x*G+y, z] (xy-onehot kernel layout)
+    vol_qz = jnp.transpose(motion_weights_vol[:B], (0, 3, 2, 1)).reshape(
+        B, G * G, G)
+    acc = inverse_core(pts, rg, tg, vol_qz, precision)
     wsum = acc[:, 3:4]
     m = jnp.maximum(wsum, 1e-4)
     # grid-space accumulator back to world: p = (f - o)/s
