@@ -87,13 +87,14 @@ class HumanObjectField(nn.Module):
         self.pose_decoder = BodyPoseRefiner(
             total_bones=self.total_bones, mlp_width=self.pose_mlp_width,
             mlp_depth=self.pose_mlp_depth, name="pose_decoder")
+        cdt = resolve_compute_dtype(self.compute_dtype)
         self.mweight_vol_decoder = MotionWeightVolumeDecoder(
             embedding_size=self.mweight_embedding_size,
             volume_size=self.mweight_volume_size,
-            total_bones=self.total_bones, name="mweight_vol_decoder")
+            total_bones=self.total_bones, compute_dtype=cdt,
+            name="mweight_vol_decoder")
         nr_cls = nn.remat(NonRigidMLP) if self.remat else NonRigidMLP
         cnl_cls = nn.remat(CanonicalMLP) if self.remat else CanonicalMLP
-        cdt = resolve_compute_dtype(self.compute_dtype)
         self.non_rigid_mlp = nr_cls(
             mlp_depth=self.nr_mlp_depth, mlp_width=self.nr_mlp_width,
             skips=self.nr_skips, compute_dtype=cdt, name="non_rigid_mlp")

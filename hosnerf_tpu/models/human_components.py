@@ -179,6 +179,11 @@ class ConvTranspose3dTorch(nn.Module):
 
     features: int
     gain: float = LEAKY02_GAIN
+    # computation dtype for the phase matmuls (params stay f32): bf16
+    # runs them at the MXU's full rate (the production default via the
+    # model's compute_dtype); None = f32 with HIGHEST precision — the
+    # golden-equivalence mode.
+    compute_dtype: "jnp.dtype | None" = None
 
     @nn.compact
     def __call__(self, x):
@@ -220,9 +225,16 @@ class ConvTranspose3dTorch(nn.Module):
                                     (n, d, h, w, cin)))
                     lhs = jnp.concatenate(slabs, axis=-1)
                     rhs = rhs_all[(pz * 2 + py) * 2 + px]
-                    phases.append(
-                        jnp.einsum("ndhwc,co->ndhwo", lhs, rhs,
-                                   precision=jax.lax.Precision.HIGHEST))
+                    if self.compute_dtype is not None:
+                        lhs = lhs.astype(self.compute_dtype)
+                        rhs = rhs.astype(self.compute_dtype)
+                        phases.append(jnp.einsum(
+                            "ndhwc,co->ndhwo", lhs, rhs,
+                            preferred_element_type=jnp.float32))
+                    else:
+                        phases.append(jnp.einsum(
+                            "ndhwc,co->ndhwo", lhs, rhs,
+                            precision=jax.lax.Precision.HIGHEST))
         # [2(pz),2(py),2(px), n,d,h,w,co] -> interleave into (2d,2h,2w)
         y = jnp.stack(phases, 0).reshape(
             2, 2, 2, n, d, h, w, self.features)
@@ -238,6 +250,7 @@ class ConvDecoder3D(nn.Module):
 
     volume_size: int = 32
     voxel_channels: int = 27
+    compute_dtype: "jnp.dtype | None" = None
 
     @nn.compact
     def __call__(self, embedding):
@@ -255,9 +268,11 @@ class ConvDecoder3D(nn.Module):
             else:
                 inch = outch
         for i, feats in enumerate(plan):
-            h = ConvTranspose3dTorch(feats, name=f"deconv_{i}")(h)
+            h = ConvTranspose3dTorch(feats, compute_dtype=self.compute_dtype,
+                                     name=f"deconv_{i}")(h)
             h = jax.nn.leaky_relu(h, 0.2)
         h = ConvTranspose3dTorch(self.voxel_channels, gain=1.0,
+                                 compute_dtype=self.compute_dtype,
                                  name="deconv_out")(h)
         return h
 
@@ -270,6 +285,7 @@ class MotionWeightVolumeDecoder(nn.Module):
     embedding_size: int = 256
     volume_size: int = 32
     total_bones: int = 26
+    compute_dtype: "jnp.dtype | None" = None
 
     @nn.compact
     def __call__(self, motion_weights_priors):
@@ -281,6 +297,7 @@ class MotionWeightVolumeDecoder(nn.Module):
         decoded = ConvDecoder3D(
             volume_size=self.volume_size,
             voxel_channels=self.total_bones + 1,
+            compute_dtype=self.compute_dtype,
             name="decoder")(embedding[None])[0]  # [D, H, W, C]
         decoded = jnp.moveaxis(decoded, -1, 0)  # -> [C, D, H, W]
         return jax.nn.softmax(decoded + jnp.log(motion_weights_priors),

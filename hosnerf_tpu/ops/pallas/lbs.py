@@ -96,7 +96,7 @@ from jax.experimental.pallas import tpu as pltpu
 # no win from bigger tiles (9.6 vs 10.0 ms) and their [T, B*G]
 # intermediates blow the 16 MB scoped-vmem limit at 1024, so they stay
 # at 512.
-TILE_INV = 512
+TILE_INV = 1024
 TILE_SH = 512
 
 _HIGHEST = jax.lax.Precision.HIGHEST
