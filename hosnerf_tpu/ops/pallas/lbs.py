@@ -58,14 +58,26 @@ error on weights; the production default).
 Measured dead ends (v5e, kept for the record):
 * Per-(tile, bone) support skipping — predicate `coord range intersects
   [-1, G]` guarding the tap build + matmul with `lax.cond`/`pl.when`.
-  The skip itself works (50/50 in/out points: fwd 37->28 ms, grad
-  145->91 ms) but never fires on real ray batches: samples arrive
-  ray-ordered, so a tile is a few full near->far rays whose per-bone
-  grid-coord span averages ~48 units against a 32-unit grid — 99.9% of
-  (tile, bone) pairs intersect the volume. All-in overhead is ~2% on
-  the kernels, so it was reverted. It would pay only after a
-  sample-reordering pass (e.g. Morton order), which costs more than it
-  saves at these sizes.
+  Round 1: never fires on ray-ordered batches (a tile is a few full
+  near->far rays; ~99.9% of (tile, bone) pairs intersect the 32-unit
+  grid). Round 2 re-ran it WITH a coarse-spatial-cell sort of the
+  samples inside the custom_vjp (argsort of 16^3-cell keys + gather
+  in / gather out — a permutation's transpose is the inverse
+  permutation, so no scatters): the skip then fires on 48% of
+  (tile, bone) pairs at TILE=256 (22% at 1024) on production-shaped
+  batches, but the stage-3 step REGRESSED 181.5 -> 199.4 ms — the
+  per-bone `lax.cond` breaks Mosaic's pipelining of the always-taken
+  path and the sort adds ~10 ms. Depth-major and (ray-block x
+  depth-chunk) reorderings (transpose-only, no sort) skip ~10% — not
+  enough. Only ~24% of (bone, sample) pairs are truly in-grid, so a
+  finer-than-tile mechanism could 3x this kernel, but not via conds.
+* A binary floor-cell one-hot contracted against a 4-corner-stacked
+  volume [G^2, 4G] (value + both xy derivative contractions recovered
+  from the corner columns by per-bone scalar algebra; dvol accumulated
+  in the shifted-corner basis and un-shifted in XLA): ~5x fewer big VPU
+  ops and exact bf16 taps, but the N=4G matmul quadruples real MXU MACs
+  — fwd 22.2 -> 30.4 ms, fwd+bwd 82.3 -> 105.4. The N=G matmul output
+  is NOT padded to 128 lanes by Mosaic; widening N is real work.
 * bf16 tap builds (no compares in the hat form, so Mosaic accepts it):
   measured SLOWER than f32 builds (28.2 vs 26.6 ms fwd) and the bf16
   subtract f - iota at grid coords ~30 costs ~0.25 absolute tap error —
