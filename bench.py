@@ -173,7 +173,13 @@ def main():
     big_rays = 8 * 32 * 32
     big_sec = None
     try:
-        cfg8 = stage3.Stage3Config(n_patches=8, compute_dtype="bf16")
+        # free the 2-patch state first and rematerialize MLP activations:
+        # 8 patches x 32 nerf samples x 1024 width without remat stores
+        # ~8 GB of trunk activations for backward -> HBM OOM on v5e.
+        for leaf in jax.tree.leaves((params, opt_state, batch)):
+            leaf.delete()
+        cfg8 = stage3.Stage3Config(n_patches=8, compute_dtype="bf16",
+                                   remat=True)
         batch8 = {k: jnp.asarray(v) for k, v in
                   synthetic.composed_batch(8, 32, grid_size=32).items()}
         p8, o8, sm8, hm8, opt8 = stage3.init_state(
