@@ -172,12 +172,14 @@ def main():
     # chained protocol, fewer iters
     big_rays = 8 * 32 * 32
     big_sec = None
-    try:
-        # free the 2-patch state first and rematerialize MLP activations:
-        # 8 patches x 32 nerf samples x 1024 width without remat stores
-        # ~8 GB of trunk activations for backward -> HBM OOM on v5e.
-        for leaf in jax.tree.leaves((params, opt_state, batch)):
+    # free the 2-patch state first: 8 patches x 32 nerf samples x 1024
+    # width without remat stores ~8 GB of trunk activations for backward
+    # -> HBM OOM on v5e. Outside the try so a cleanup failure surfaces
+    # distinctly; guarded for non-array leaves (e.g. scalar opt_state).
+    for leaf in jax.tree.leaves((params, opt_state, batch)):
+        if hasattr(leaf, "delete"):
             leaf.delete()
+    try:
         cfg8 = stage3.Stage3Config(n_patches=8, compute_dtype="bf16",
                                    remat=True)
         batch8 = {k: jnp.asarray(v) for k, v in
@@ -202,7 +204,20 @@ def main():
             l8 = step8(p8, o8, batch8, l8, jnp.float32(100.0 + i), keys[i])
         force_value(l8)
         big_sec = (time.perf_counter() - t0) / 8
-        implied8 = flops * 4.0 / big_sec / 1e12  # ~4x model FLOPs
+        # remat-accurate FLOPs for the 8-patch tripwire (remat=True
+        # executes re-forward FLOPs the 2-patch non-remat count misses);
+        # fall back to the conservative 4x scaling if cost analysis is
+        # unavailable.
+        flops8 = None
+        try:
+            cost8 = step8.lower(p8, o8, batch8, l8, jnp.float32(100.0),
+                                keys[0]).compile().cost_analysis()
+            if cost8:
+                c8 = cost8[0] if isinstance(cost8, (list, tuple)) else cost8
+                flops8 = float(c8.get("flops", 0.0)) or None
+        except Exception:
+            flops8 = None
+        implied8 = (flops8 or flops * 4.0) / big_sec / 1e12
         assert implied8 <= BF16_PEAK_TFLOPS * 1.05
     except Exception as e:  # secondary point only — report, don't fail
         import sys

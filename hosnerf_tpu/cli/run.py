@@ -77,15 +77,16 @@ def _make_lpips_metric(lp_model, lp_params):
 def _load_lpips(args, patch_size: int):
     """Build the jittable LPIPS (loss + metric) with whatever torch
     weights are available (lin heads always; vgg16 backbone when
-    --lpips_vgg_path is supplied; KNOWN_GAPS #1). Returns (None, None)
-    below LPIPS's 16x16 spatial minimum (tiny smoke configs) — the
+    --lpips_vgg_path is supplied; KNOWN_GAPS #1). Returns
+    (model, params, backbone_provenance); (None, None, None) below
+    LPIPS's 16x16 spatial minimum (tiny smoke configs) — the
     training loss and eval then simply omit the lpips term."""
     import jax
 
     if patch_size < 16:
         print(f"[lpips] patches {patch_size}x{patch_size} < 16x16 "
               "minimum — lpips loss/metric disabled for this run")
-        return None, None
+        return None, None, None
 
     from hosnerf_tpu.models import lpips as lpips_mod
     lp_params = lpips_mod.load_torch_weights(
@@ -93,7 +94,8 @@ def _load_lpips(args, patch_size: int):
             jax.random.key(7), (patch_size, patch_size))),
         vgg_path=args.lpips_vgg_path)
     lp_model = lpips_mod.LPIPS()
-    return lp_model, lp_params
+    return (lp_model, lp_params,
+            lpips_mod.backbone_provenance(args.lpips_vgg_path))
 
 
 def _logdir(args) -> str:
@@ -222,10 +224,11 @@ def run_scene(args) -> None:
                 cfg.lr_delay_steps, cfg.lr_delay_mult))
     elif args.run_mode == "eval":
         from hosnerf_tpu.eval import renderers
-        lp_model, lp_params = _load_lpips(args, 32)
+        lp_model, lp_params, lp_backbone = _load_lpips(args, 32)
         results = renderers.evaluate_scene(
             eval_step, params, pipe, logdir,
-            lpips_metric=_make_lpips_metric(lp_model, lp_params))
+            lpips_metric=_make_lpips_metric(lp_model, lp_params),
+            lpips_backbone=lp_backbone)
         print(results)
     else:  # render: interpolated camera-path video (reference `predict`)
         from hosnerf_tpu.eval import renderers
@@ -287,7 +290,7 @@ def run_human(args) -> None:
     params, opt_state, model, opt = stage2.init_state(
         cfg, jax.random.key(args.seed), example)
 
-    lp_model, lp_params = _load_lpips(args, cfg.patch_size)
+    lp_model, lp_params, lp_backbone = _load_lpips(args, cfg.patch_size)
     lp_apply = (None if lp_model is None else
                 (lambda p, a, b: lp_model.apply({"params": p}, a, b)))
 
@@ -347,6 +350,7 @@ def run_human(args) -> None:
             out = renderers.full_human_eval(
                 render_fn, params, factory, logdir,
                 transitions=ds.transitions, lpips_metric=lp_metric,
+                lpips_backbone=lp_backbone,
                 tpose_resolution=1024)  # ref 2nd tpose.py:29 renders 1024^2
         else:  # render: freeview orbit video only
             out = renderers.render_freeview(
@@ -427,7 +431,7 @@ def run_hosnerf(args) -> None:
 
     # the lpips patch loss is stage 3's largest term (w_lpips=1.0,
     # ref 3rd model.py:892-906) — wire it exactly as stage 2 does
-    lp_model, lp_params = _load_lpips(args, cfg.patch_size)
+    lp_model, lp_params, lp_backbone = _load_lpips(args, cfg.patch_size)
     lp_apply = (None if lp_model is None else
                 (lambda p, a, b: lp_model.apply({"params": p}, a, b)))
     step_fn = jax.jit(stage3.make_train_step(
@@ -491,6 +495,7 @@ def run_hosnerf(args) -> None:
                 render_fn, params, factory, logdir,
                 transitions=ds.transitions,
                 lpips_metric=_make_lpips_metric(lp_model, lp_params),
+                lpips_backbone=lp_backbone,
                 extra_keys=("newsmpl_to_scale_world",),
                 tpose_render_fn=tpose_render_fn)
         else:

@@ -52,6 +52,43 @@ def image_rays(intrinsic: np.ndarray, extrinsic: np.ndarray, h: int, w: int,
     return rays_o, rays_d, viewdirs.astype(np.float32), radii
 
 
+def pixel_rays(intrinsic: np.ndarray, extrinsic: np.ndarray, h: int, w: int,
+               sel: np.ndarray, use_pixel_centers: bool = True):
+    """Rays for SELECTED flat pixel indices of one image — value-identical
+    to `image_rays(...)[k][sel]` without building the full H*W grid (the
+    pooled train samplers touch every train image each batch; full grids
+    would thrash any cache). Radii reproduce `image_rays`' exact row
+    semantics: row r uses the (r, r+1) vertical neighbor difference for
+    r <= h-2, and row h-1 reuses row h-3's value (the appended `dx[-2:-1]`
+    row of the grid form, itself mirroring the reference's ray_utils.py
+    radii construction)."""
+    center = 0.5 if use_pixel_centers else 0.0
+    sel = np.asarray(sel)
+    r = sel // w
+    c = sel % w
+    i = c.astype(np.float32) + center
+    fx, fy = intrinsic[0][0], intrinsic[1][1]
+    cx, cy = intrinsic[0][2], intrinsic[1][2]
+    rot = np.asarray(extrinsic[:3, :3], np.float64)
+
+    def dirs_at(jv):
+        d = np.stack([(i - cx) / fx, (jv - cy) / fy, np.ones_like(i)], -1)
+        return d @ rot.T
+
+    rays_d = dirs_at(r.astype(np.float32) + center)
+    rb = np.where(r == h - 1, h - 3, r)
+    rb = np.clip(rb, 0, max(h - 2, 0)).astype(np.float32)
+    dvert = dirs_at(rb + center) - dirs_at(rb + 1.0 + center)
+    dx = np.sqrt(np.sum(dvert ** 2, -1))
+    radii = (dx * 2 / np.sqrt(12)).reshape(-1, 1).astype(np.float32)
+
+    rays_d = rays_d.astype(np.float32)
+    rays_o = np.broadcast_to(
+        np.asarray(extrinsic[:3, 3], np.float32), rays_d.shape).copy()
+    viewdirs = rays_d / np.linalg.norm(rays_d, axis=-1, keepdims=True)
+    return rays_o, rays_d, viewdirs.astype(np.float32), radii
+
+
 def batched_image_rays(intrinsics, extrinsics, image_sizes):
     """Rays for a list of images, concatenated (ref: batchified_get_rays)."""
     parts = [image_rays(K, E, h, w)

@@ -61,6 +61,18 @@ class ScenePipeline:
                 self._ray_cache.pop(next(iter(self._ray_cache)))
         return self._ray_cache[i]
 
+    def _rays_for(self, i: int, sel: np.ndarray):
+        """Rays at selected flat pixels: cached full grid when available
+        (single_image reuses images across steps), per-pixel generation
+        otherwise (pooled modes touch every train image per batch)."""
+        if i in self._ray_cache or self.batch_sampler == "single_image":
+            rays_o, rays_d, viewdirs, radii = self._image_rays(i)
+            return rays_o[sel], rays_d[sel], viewdirs[sel], radii[sel]
+        h, w = self.scene.image_sizes[i]
+        return ray_gen.pixel_rays(self.scene.intrinsics[i],
+                                  self.scene.extrinsics[i], int(h), int(w),
+                                  sel)
+
     def _pick_pixels(self, i: int, n: int) -> np.ndarray:
         h, w = self.scene.image_sizes[i]
         if self.precrop and self._step < self.precrop_steps:
@@ -78,24 +90,30 @@ class ScenePipeline:
         if self.batch_sampler == "single_image":
             images = [int(self.rng.choice(i_train))]
             counts = [self.batch_size]
-        else:  # all_images / dynamic_batch: pool rays across images
-            k = min(8, len(i_train))
-            images = list(self.rng.choice(i_train, k, replace=False,
-                                          p=None))
-            base = self.batch_size // k
-            counts = [base] * k
-            counts[-1] += self.batch_size - base * k
+        else:
+            # all_images / dynamic_batch: every ray drawn uniformly from
+            # the FULL background-ray pool across ALL train images —
+            # image weighted by its bkg-ray count, exactly the draw
+            # MultipleImageDDPSampler makes over total_len
+            # (ref: sampler.py:104-127). Per-image ray generation below
+            # uses pixel_rays (selected pixels only), so touching every
+            # train image per batch costs O(batch), not O(images * H * W).
+            draws = self.rng.choice(len(i_train), self.batch_size,
+                                    p=self._train_img_probs)
+            ids, cnts = np.unique(draws, return_counts=True)
+            images = [int(i_train[k]) for k in ids]
+            counts = cnts.tolist()
 
         parts = {k: [] for k in ("rays_o", "rays_d", "viewdirs", "radii",
                                  "times", "target")}
         for i, n in zip(images, counts):
             i = int(i)
-            rays_o, rays_d, viewdirs, radii = self._image_rays(i)
             sel = self._pick_pixels(i, n)
-            parts["rays_o"].append(rays_o[sel])
-            parts["rays_d"].append(rays_d[sel])
-            parts["viewdirs"].append(viewdirs[sel])
-            parts["radii"].append(radii[sel])
+            rays_o, rays_d, viewdirs, radii = self._rays_for(i, sel)
+            parts["rays_o"].append(rays_o)
+            parts["rays_d"].append(rays_d)
+            parts["viewdirs"].append(viewdirs)
+            parts["radii"].append(radii)
             parts["times"].append(
                 np.full(n, self.scene.times[i], np.float32))
             parts["target"].append(

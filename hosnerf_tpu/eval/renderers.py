@@ -76,12 +76,16 @@ def render_human_image(render_fn: Callable, params, item: Dict,
 
 def evaluate_scene(eval_step, params, pipe, logdir: str,
                    lpips_metric=None, splits=("train", "val", "test"),
-                   chunk: int = 4096, save_images: bool = True) -> Dict:
+                   chunk: int = 4096, save_images: bool = True,
+                   lpips_backbone: Optional[str] = None) -> Dict:
     """Per-split PSNR/SSIM/LPIPS + results.json + image dump
-    (ref: test_epoch_end model.py:582-609)."""
+    (ref: test_epoch_end model.py:582-609). `lpips_backbone` records the
+    feature provenance ('vgg16' | 'random-fixed-seed') in results.json."""
     i_train, i_val, i_test, _ = pipe.scene.i_split
     split_ids = {"train": i_train, "val": i_val, "test": i_test}
     results = {m: {} for m in ("psnr", "ssim", "lpips")}
+    if lpips_metric is not None:
+        results["lpips"]["lpips_backbone"] = lpips_backbone or "unknown"
     rendered_all = []
     for split in splits:
         psnrs, ssims, lpipss = [], [], []
@@ -149,7 +153,8 @@ def render_scene_path(eval_step, params, pipe, logdir: str,
 def evaluate_human(render_fn, params, dataset, logdir: str, tag: str,
                    lpips_metric=None, chunk: int = 8192,
                    extra_keys: tuple = (), max_items: Optional[int] = None,
-                   save_images: bool = True) -> Dict:
+                   save_images: bool = True,
+                   lpips_backbone: Optional[str] = None) -> Dict:
     """One sweep over a HumanDataset (progress/test/movement modes):
     renders each frame, computes PSNR/SSIM/LPIPS vs target, dumps jpgs,
     and flags all-background renders (the reference's empty-image trap,
@@ -182,6 +187,8 @@ def evaluate_human(render_fn, params, dataset, logdir: str, tag: str,
         "lpips": float(np.mean(lpipss)) if lpipss else None,
         "is_empty_img": is_empty,
     }
+    if lpips_metric is not None:
+        out["lpips_backbone"] = lpips_backbone or "unknown"
     eio.write_stats(os.path.join(logdir, f"results_{tag}.json"), out)
     return out
 
@@ -190,7 +197,8 @@ def full_human_eval(render_fn, params, dataset_factory, logdir: str,
                     transitions=None, lpips_metric=None, chunk: int = 8192,
                     extra_keys: tuple = (), tpose_resolution: int = 512,
                     freeview_frames: int = 100,
-                    tpose_render_fn=None) -> Dict:
+                    tpose_render_fn=None,
+                    lpips_backbone: Optional[str] = None) -> Dict:
     """The reference's complete test_step sweep: held-out test frames,
     all frames ('movement'), 360-degree freeview orbit, and canonical-pose
     renders at per-state midpoint times (ref: 2nd model.py:872-887).
@@ -198,10 +206,12 @@ def full_human_eval(render_fn, params, dataset_factory, logdir: str,
     results = {}
     results["testimgs"] = evaluate_human(
         render_fn, params, dataset_factory(mode="test"), logdir,
-        "testimgs", lpips_metric, chunk, extra_keys)
+        "testimgs", lpips_metric, chunk, extra_keys,
+        lpips_backbone=lpips_backbone)
     results["allimgs"] = evaluate_human(
         render_fn, params, dataset_factory(mode="movement"), logdir,
-        "allimgs", lpips_metric, chunk, extra_keys)
+        "allimgs", lpips_metric, chunk, extra_keys,
+        lpips_backbone=lpips_backbone)
     render_freeview(render_fn, params,
                     dataset_factory(mode="freeview",
                                     render_frames=freeview_frames),
@@ -243,14 +253,30 @@ def tpose_midpoint_times(transitions: Optional[np.ndarray]) -> List[float]:
 
 def render_tpose(render_fn, params, dataset, logdir: str,
                  transitions=None, resolution: int = 512,
-                 n_views: int = 4, chunk: int = 8192) -> List[np.ndarray]:
-    """Canonical-pose turntable at each state's midpoint time."""
+                 n_views: Optional[int] = None,
+                 chunk: int = 8192) -> List[np.ndarray]:
+    """Canonical-pose turntable at each state's midpoint time.
+
+    Renders the dataset's own `render_frames`-sized turntable per state
+    (ref: tpose.py:59,143-163 — cfg.render_frames views, angle
+    2*pi*idx/total), written as mp4 per state plus a contact-sheet jpg;
+    `n_views` overrides for cheap smoke runs."""
     frames = []
-    for t in tpose_midpoint_times(transitions):
-        for v in range(n_views):
+    per_state = n_views or getattr(dataset, "render_frames", 4)
+    for si, t in enumerate(tpose_midpoint_times(transitions)):
+        state_frames = []
+        for v in range(per_state):
             item = dataset.get_tpose_item(v, resolution=resolution, time=t)
-            frames.append(render_human_image(render_fn, params, item,
-                                             chunk))
+            state_frames.append(render_human_image(render_fn, params, item,
+                                                   chunk))
+        if len(state_frames) > 8:
+            eio.store_video(os.path.join(logdir, f"tpose_state{si}"),
+                            state_frames)
+            # contact sheet: 8 evenly spaced views
+            step = max(len(state_frames) // 8, 1)
+            frames.extend(state_frames[::step][:8])
+        else:
+            frames.extend(state_frames)
     if frames:
         eio.store_image(os.path.join(logdir, "tpose_vis"), frames)
     return frames

@@ -241,29 +241,16 @@ class HumanObjectField(nn.Module):
         if is_train:
             # Both forward branches (cycle + prev-frame flow) sample the
             # weight volume at the SAME canonical points — compute the
-            # all-bone weights once and blend two transform sets
-            # (vs the reference's two full _sample_motion_fields_forward
-            # passes, network.py:472-535; identical math).
+            # all-bone weights once, blend BOTH transform sets in one
+            # stacked einsum, and run ONE 2N-sample non_rigid_forward_mlp
+            # pass over the concatenated deform streams (vs the
+            # reference's two full _sample_motion_fields_forward +
+            # non_rigid_forward_mlp passes, network.py:472-535; identical
+            # math — the module is per-sample, so grads through the
+            # concatenated call equal the sum over two separate calls).
             fwd_weights = lbs_ops.bone_weights(
                 cnl_pts, motion_weights_vol, batch["cnl_bbox_min_xyz"],
                 batch["cnl_bbox_scale_xyz"], impl=self.lbs_impl)
-            deform_pts, _ = lbs_ops.apply_forward_lbs(
-                fwd_weights, cnl_pts, m_sR_fwd, m_T_fwd)
-            if not self.ignore_non_rigid_motions:
-                fw_embed = embedders.hannw_fourier_embed(
-                    deform_pts, self.nr_multires, alpha)
-                deform_pts = self._chunked(
-                    self.non_rigid_forward_mlp, fw_embed, deform_pts,
-                    jnp.broadcast_to(cond,
-                                     (deform_pts.shape[0], cond.shape[-1])),
-                )["xyz"]
-            outputs["observe_pts"] = pts_flat
-            outputs["deform_pts_final"] = deform_pts
-            outputs["cycle_mask"] = (
-                fg_mask[:, 0] > 0.005).astype(raw.dtype)
-
-            # ---- scene-flow branch to the previous frame
-            # (ref: network.py:472-501,607-644) ----
             dst_Rs_prev, dst_Ts_prev = self._refine_pose(
                 batch["dst_Rs_prev"], batch["dst_Ts_prev"],
                 batch["dst_posevec_prev"][:self.pose_embedding_size],
@@ -274,18 +261,30 @@ class HumanObjectField(nn.Module):
                 batch["dst_posevec_prev"][None,
                                           :self.nr_condition_code_size],
                 iter_val)
-            deform_prev, _ = lbs_ops.apply_forward_lbs(
-                fwd_weights, cnl_pts, p_sR_fwd, p_T_fwd)
+            deform_both, _ = lbs_ops.apply_forward_lbs_multi(
+                fwd_weights, cnl_pts,
+                jnp.stack([m_sR_fwd, p_sR_fwd]),
+                jnp.stack([m_T_fwd, p_T_fwd]))           # [2, N, 3]
+            n = cnl_pts.shape[0]
+            deform_both = deform_both.reshape(2 * n, 3)
             if not self.ignore_non_rigid_motions:
-                fwp_embed = embedders.hannw_fourier_embed(
-                    deform_prev, self.nr_multires, alpha)
-                deform_prev = self._chunked(
-                    self.non_rigid_forward_mlp, fwp_embed, deform_prev,
-                    jnp.broadcast_to(
-                        cond_prev,
-                        (deform_prev.shape[0], cond_prev.shape[-1])),
-                )["xyz"]
-            outputs["deform_pts_prev_final"] = deform_prev.reshape(R, S, 3)
+                fw_embed = embedders.hannw_fourier_embed(
+                    deform_both, self.nr_multires, alpha)
+                cond_both = jnp.concatenate([
+                    jnp.broadcast_to(cond, (n, cond.shape[-1])),
+                    jnp.broadcast_to(cond_prev, (n, cond_prev.shape[-1]))],
+                    axis=0)
+                deform_both = self._chunked(
+                    self.non_rigid_forward_mlp, fw_embed, deform_both,
+                    cond_both)["xyz"]
+            outputs["observe_pts"] = pts_flat
+            outputs["deform_pts_final"] = deform_both[:n]
+            outputs["cycle_mask"] = (
+                fg_mask[:, 0] > 0.005).astype(raw.dtype)
+            # ---- scene-flow branch to the previous frame
+            # (ref: network.py:472-501,607-644) ----
+            outputs["deform_pts_prev_final"] = deform_both[n:].reshape(
+                R, S, 3)
 
         # ---- compositing (ref: network.py:273-299,537-538) ----
         rgb_map, acc_map, weights, depth_map = render.raw2outputs(

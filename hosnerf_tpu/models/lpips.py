@@ -106,17 +106,40 @@ def init_lpips_params(rng: jax.Array, image_hw=(32, 32)) -> Dict[str, Any]:
     return model.init(rng, x, x)["params"]
 
 
+def backbone_provenance(vgg_path: str | None) -> str:
+    """Which VGG backbone a `load_torch_weights(vgg_path=...)` call yields:
+    'vgg16' (real torchvision weights) or 'random-fixed-seed'. Recorded in
+    every results.json / bench artifact so no LPIPS number can be read as
+    metric-grade without the provenance saying so (KNOWN_GAPS #1)."""
+    return ("vgg16" if vgg_path and os.path.exists(vgg_path)
+            else "random-fixed-seed")
+
+
+_BANNER = (
+    "=" * 72 + "\n"
+    "[lpips] WARNING: VGG16 backbone weights NOT provided — LPIPS runs on\n"
+    "[lpips] FIXED-SEED RANDOM features. Training works; LPIPS *numbers*\n"
+    "[lpips] are not comparable to published metric-grade LPIPS. Supply\n"
+    "[lpips] --lpips_vgg_path / LPIPS_VGG_PATH (torchvision vgg16 .pth)\n"
+    "[lpips] for metric parity. results.json records lpips_backbone.\n"
+    + "=" * 72)
+
+
 def load_torch_weights(params: Dict[str, Any],
                        lin_path: str = DEFAULT_LIN_WEIGHTS,
-                       vgg_path: str | None = None) -> Dict[str, Any]:
+                       vgg_path: str | None = None,
+                       quiet: bool = False) -> Dict[str, Any]:
     """Overlay torch weights onto an initialized LPIPS param tree.
 
     lin_path: the reference's vendored lin heads (vgg.pth).
     vgg_path: a torchvision vgg16 state_dict (features.* keys); optional —
-      unavailable in this image, importable when provided.
+      unavailable in this image, importable when provided. When absent, a
+    prominent banner marks the run as random-backbone (KNOWN_GAPS #1).
     """
     import torch
 
+    if backbone_provenance(vgg_path) != "vgg16" and not quiet:
+        print(_BANNER, flush=True)
     params = jax.tree.map(np.asarray, params)
     if lin_path and os.path.exists(lin_path):
         sd = torch.load(lin_path, map_location="cpu")

@@ -363,3 +363,21 @@ def apply_forward_lbs(weights: jnp.ndarray, pts: jnp.ndarray,
            + jnp.matmul(weights, motion_Ts_fwd, precision=_PREC))
     x_deform = acc / jnp.maximum(wsum, 1e-4)[:, None]
     return x_deform, wsum[:, None]
+
+
+def apply_forward_lbs_multi(weights: jnp.ndarray, pts: jnp.ndarray,
+                            motion_scale_Rs_fwd: jnp.ndarray,
+                            motion_Ts_fwd: jnp.ndarray):
+    """`apply_forward_lbs` for K transform sets at once.
+
+    The cycle and prev-frame flow branches blend the SAME weights/points
+    with different bone transforms (ref network.py:472-535 runs two full
+    passes); stacking the transforms to [K,B,3,3]/[K,B,3] folds both
+    blends into one einsum. Returns (x_deform [K,N,3], wsum [N,1])."""
+    wsum = jnp.sum(weights, axis=1)
+    acc = (jnp.einsum("nb,kbij,nj->kni", weights, motion_scale_Rs_fwd, pts,
+                      precision=_PREC)
+           + jnp.einsum("nb,kbi->kni", weights, motion_Ts_fwd,
+                        precision=_PREC))
+    x_deform = acc / jnp.maximum(wsum, 1e-4)[None, :, None]
+    return x_deform, wsum[:, None]

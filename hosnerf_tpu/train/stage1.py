@@ -118,7 +118,11 @@ def make_train_step(cfg: Stage1Config, model: scene.SceneField,
 
     def train_step(params, opt_state, batch, step, rng):
         train_frac = jnp.clip(step / cfg.max_steps, 0.0, 1.0)
-        s_idx = state_index(batch["times"][0], trans)
+        # per-ray state indices: the pooled samplers (all_images /
+        # dynamic_batch) mix rays from images with different times in one
+        # batch; MipMLP broadcasts a [R] index vector per ray
+        # (ref ladder semantics: model.py:138-209, applied per forward)
+        s_idx = state_index(batch["times"], trans)
 
         def loss_fn(p):
             renderings, ray_history = model.apply(

@@ -183,3 +183,46 @@ def test_transitions_loaded(mini):
     from hosnerf_tpu.data.human_dataset import HumanDataset
     ds = HumanDataset(mini, mode="train", mweight_volume_size=16)
     assert ds.transitions is not None and len(ds.transitions) == 1
+
+
+def test_pixel_rays_matches_image_rays(ref_cam, rng_np):
+    """pixel_rays (pooled-sampler per-pixel path) must be value-identical
+    to indexing the full image_rays grid, radii row semantics included."""
+    h, w = 24, 31
+    K = np.array([[35.0, 0, 15.2], [0, 33.0, 11.7], [0, 0, 1]], np.float32)
+    E = np.eye(4, dtype=np.float32)
+    th = 0.7
+    E[:3, :3] = np.array([[np.cos(th), -np.sin(th), 0],
+                          [np.sin(th), np.cos(th), 0],
+                          [0, 0, 1]], np.float32)
+    E[:3, 3] = [0.5, -1.0, 2.0]
+    full = ray_gen.image_rays(K, E, h, w)
+    sel = rng_np.integers(0, h * w, 200)
+    # include the radii edge rows explicitly
+    sel = np.concatenate([sel, np.arange(w), np.arange(h * w - w, h * w)])
+    per = ray_gen.pixel_rays(K, E, h, w, sel)
+    for a, b in zip(full, per):
+        np.testing.assert_allclose(a[sel], b, rtol=1e-5, atol=1e-6)
+
+
+def test_pooled_sampler_covers_full_split(mini):
+    """all_images mode draws every ray uniformly from the FULL background
+    pool (image weighted by bkg-ray count) — MultipleImageDDPSampler
+    semantics (ref sampler.py:104-127), not an 8-image subsample."""
+    from hosnerf_tpu.data import scene_loader, scene_pipeline
+    scene = scene_loader.load_nerf_360_v2(
+        os.path.dirname(mini), os.path.basename(mini), factor=1)
+    pipe = scene_pipeline.ScenePipeline(scene, batch_size=512,
+                                        batch_sampler="all_images")
+    seen_times = set()
+    for _ in range(6):
+        b = pipe.sample_train_batch()
+        assert b["rays_o"].shape == (512, 3)
+        assert np.allclose(np.linalg.norm(b["viewdirs"], axis=-1), 1.0,
+                           atol=1e-5)
+        seen_times.update(np.unique(b["times"]).tolist())
+    # every train image's time should appear across a few large batches
+    train_times = {float(scene.times[i]) for i in scene.i_split[0]}
+    assert seen_times == train_times
+    # mixed times WITHIN one batch (the per-ray state-index case)
+    assert len(np.unique(b["times"])) > 1

@@ -60,3 +60,57 @@ def test_lpips_loads_vendored_lin_heads(lpips_setup):
     x = jnp.zeros((1, 16, 16, 3))
     y = jnp.ones((1, 16, 16, 3))
     assert np.isfinite(float(apply(loaded, x, y)[0]))
+
+
+# sha256 of torchvision's vgg16-397923af.pth (the backbone the reference's
+# LPIPS uses). The test below activates the moment a weights file appears
+# at LPIPS_VGG_PATH (or tools/weights/vgg16.pth) — no code changes needed.
+VGG16_SHA256 = (
+    "397923af8e79cdbb6a7127f12361acd7a2f83e06b05044ddf496e83de57a5bf0")
+
+
+def _find_vgg16():
+    for cand in (os.environ.get("LPIPS_VGG_PATH"),
+                 os.path.join(os.path.dirname(os.path.dirname(
+                     os.path.abspath(__file__))),
+                     "tools", "weights", "vgg16.pth")):
+        if cand and os.path.exists(cand):
+            return cand
+    return None
+
+
+def test_lpips_vgg16_conversion_when_weights_present():
+    """Checksum-gated conversion parity: with real torchvision vgg16
+    weights on disk, the flax LPIPS must match the reference's torch
+    LPIPS stack to 1e-4 on fixed inputs (KNOWN_GAPS #1 drop-in path)."""
+    path = _find_vgg16()
+    if path is None:
+        pytest.skip("no vgg16 weights in this zero-egress image "
+                    "(set LPIPS_VGG_PATH to activate)")
+    import hashlib
+    h = hashlib.sha256(open(path, "rb").read()).hexdigest()
+    assert h == VGG16_SHA256, (
+        f"vgg16 weights file checksum mismatch: {h} != {VGG16_SHA256} — "
+        "not torchvision vgg16-397923af.pth")
+    params = lpips_mod.load_torch_weights(
+        jax.tree.map(np.asarray,
+                     lpips_mod.init_lpips_params(jax.random.key(0),
+                                                 (32, 32))),
+        vgg_path=path)
+    model = lpips_mod.LPIPS()
+    rng = np.random.default_rng(3)
+    x = rng.uniform(-1, 1, (1, 32, 32, 3)).astype(np.float32)
+    y = rng.uniform(-1, 1, (1, 32, 32, 3)).astype(np.float32)
+    ours = float(model.apply({"params": params}, jnp.asarray(x),
+                             jnp.asarray(y))[0])
+
+    # reference torch LPIPS (vendored lin heads + this vgg16)
+    import sys
+    sys.path.insert(0, "/root/reference/2nd_State_Conditional_Human-Object")
+    import torch
+    from third_parties.lpips import lpips as ref_lpips  # noqa
+    net = ref_lpips.LPIPS(net="vgg")
+    with torch.no_grad():
+        theirs = float(net(torch.from_numpy(x.transpose(0, 3, 1, 2)),
+                           torch.from_numpy(y.transpose(0, 3, 1, 2))))
+    np.testing.assert_allclose(ours, theirs, rtol=1e-3, atol=1e-4)

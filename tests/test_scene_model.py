@@ -204,3 +204,51 @@ def test_shard_eval_fn_single_device_mesh_passthrough():
     m1 = pmesh.make_mesh(jax.devices()[:1])
     fn = lambda p, b: b  # noqa: E731
     assert pmesh.shard_eval_fn(fn, m1) is fn
+
+
+def test_train_step_uses_per_ray_states():
+    """Mixed-time batches (pooled samplers) must give each ray its own
+    state embedding in the TRAIN step (round-2 VERDICT weak #3): a mixed
+    batch's forward equals the concatenation of per-time forwards."""
+    cfg = stage1.Stage1Config(max_steps=10, near=0.5, far=20.0,
+                              num_states=2, **TINY)
+    trans = np.array([0.5], np.float32)
+    b = synthetic.scene_ray_batch(32)
+    # two half-batches at different times
+    b["times"] = np.concatenate([np.full(16, 0.1, np.float32),
+                                 np.full(16, 0.9, np.float32)])
+    batch = {k: jnp.asarray(v) for k, v in b.items()}
+    params, opt_state, model = stage1.init_state(cfg, jax.random.key(0),
+                                                 batch, trans)
+
+    s_idx_vec = state_index(batch["times"], jnp.asarray(trans))
+    mixed, _ = model.apply({"params": params}, batch, 0.5, False,
+                           s_idx_vec, cfg.near, cfg.far)
+    parts = []
+    for lo, hi, t in ((0, 16, 0.1), (16, 32, 0.9)):
+        sub = {k: v[lo:hi] if hasattr(v, "ndim") and v.ndim and
+               v.shape[0] == 32 else v for k, v in batch.items()}
+        r, _ = model.apply({"params": params}, sub, 0.5, False,
+                           state_index(jnp.float32(t), jnp.asarray(trans)),
+                           cfg.near, cfg.far)
+        parts.append(np.asarray(r[-1]["rgb"]))
+    np.testing.assert_allclose(np.asarray(mixed[-1]["rgb"]),
+                               np.concatenate(parts), atol=1e-5)
+
+    # and the train step path itself runs with the vector index (would
+    # previously collapse to times[0]'s embedding for every ray)
+    opt = stage1.make_optimizer(cfg)
+    step = jax.jit(stage1.make_train_step(cfg, model, opt, trans))
+    p2, _, aux = step(params, opt_state, batch, 0, jax.random.key(1))
+    assert np.isfinite(float(aux["loss"]))
+    # BOTH states' embeddings get gradient (each half-batch hits one);
+    # state_embeds lives inside every MLP's scope
+    flat_new = jax.tree_util.tree_flatten_with_path(p2)[0]
+    flat_old = jax.tree.leaves(params)
+    found = 0
+    for (path, new), old in zip(flat_new, flat_old):
+        if any(getattr(p, "key", "") == "state_embeds" for p in path):
+            found += 1
+            delta = np.abs(np.asarray(new - old)).sum(axis=1)
+            assert (delta > 0).all(), path
+    assert found >= 1
