@@ -306,11 +306,12 @@ def inverse_warp(pts, motion_scale_Rs, motion_Ts, motion_weights_vol,
     matmul), 'gather', or 'auto'.
     """
     impl = resolve_impl(impl, motion_weights_vol)
-    if impl == "pallas":
+    if impl in ("pallas", "pallas_dense"):
         from hosnerf_tpu.ops.pallas import lbs as plbs
         return plbs.inverse_lbs(pts, motion_scale_Rs, motion_Ts,
                                 motion_weights_vol, cnl_bbox_min_xyz,
-                                cnl_bbox_scale_xyz)
+                                cnl_bbox_scale_xyz,
+                                pair_grid=(impl == "pallas"))
     fn = inverse_lbs if impl == "xla" else inverse_lbs_gather
     x_skel, fg, _ = fn(pts, motion_scale_Rs, motion_Ts,
                        motion_weights_vol, cnl_bbox_min_xyz,

@@ -559,6 +559,409 @@ inverse_core.defvjp(lambda p, r, t, v, prec: _inverse_fwd(p, r, t, v, prec),
 
 
 # ---------------------------------------------------------------------------
+# pair-grid inverse kernel: the cond-free fine-grained support skip
+# ---------------------------------------------------------------------------
+#
+# Implements the "identified next step" above. Samples are sorted by the
+# Morton cell of their 8-sample group centroid (groups keep the sort at
+# N/8 keys and the gathers contiguous); per (tile, bone) a support
+# predicate (interval arithmetic on the tile's AABB through the bone's
+# grid affine — conservative, so results are EXACTLY the dense kernel's)
+# kills out-of-support pairs; surviving bones are compacted per tile into
+# lane-quads (128//G bones each, dummy lanes aimed at a zero volume
+# channel, which zeroes their weights AND their gradients exactly); the
+# Pallas grid runs over the compacted pair list with a DYNAMIC length
+# (validated: Mosaic runtime grid loops accept traced bounds) and
+# PrefetchScalarGridSpec — every step does IDENTICAL work, so pipelining
+# is untouched; consecutive same-tile steps accumulate into the revisited
+# output block (quad 0 of every tile is forced alive so every block is
+# initialized). The backward kernel takes the same pair list: the
+# predicate is tap-support-exact, so skipped pairs have exactly-zero
+# gradients. Affine coefficients come from an SMEM scalar table instead
+# of per-pair HBM tables (no gather, no extra traffic).
+
+TILE_PG = 256     # samples per pair tile (density/overhead sweet spot:
+                  # measured 48% of (tile,bone) pairs dead at 256 after
+                  # the spatial sort vs 22% at 1024)
+SORT_GROUP = 8    # consecutive samples sharing one sort key
+SORT_CELLS = 16   # spatial cells per axis for the Morton keys
+
+
+def _morton3(q):
+    """Interleave the bits of q [n, 3] (each in [0, SORT_CELLS)) into a
+    Morton key — better tile locality than row-major cell order."""
+    bits = (SORT_CELLS - 1).bit_length()
+    out = jnp.zeros(q.shape[0], jnp.int32)
+    for i in range(bits):
+        out = (out
+               | (((q[:, 0] >> i) & 1) << (3 * i + 2))
+               | (((q[:, 1] >> i) & 1) << (3 * i + 1))
+               | (((q[:, 2] >> i) & 1) << (3 * i)))
+    return out
+
+
+def _group_sort_perm(pts_p):
+    """Permutation sorting SORT_GROUP-sample groups by centroid Morton
+    cell. pts_p [n_pad, 3] (n_pad multiple of SORT_GROUP)."""
+    n_pad = pts_p.shape[0]
+    g = pts_p.reshape(n_pad // SORT_GROUP, SORT_GROUP, 3)
+    ctr = jnp.mean(g, axis=1)
+    lo = jnp.min(ctr, axis=0)
+    hi = jnp.max(ctr, axis=0)
+    qf = (ctr - lo) / jnp.maximum(hi - lo, 1e-9) * SORT_CELLS
+    q = jnp.clip(qf.astype(jnp.int32), 0, SORT_CELLS - 1)
+    gperm = jnp.argsort(_morton3(q))
+    return (gperm[:, None] * SORT_GROUP
+            + jnp.arange(SORT_GROUP)[None, :]).reshape(-1)
+
+
+def _build_pairs(pts_s, rgp, tgp, B: int, BPD: int, G: int):
+    """Compact alive (tile, bone-quad) pairs from sorted samples.
+
+    pts_s [n_pad, 3] sorted points; rgp/tgp [BPD, 9]/[BPD, 3] grid-affine
+    (zero-padded past B). Returns (pair_tile [CAP], pair_bone [CAP, NGB],
+    n_pairs traced scalar) with pairs sorted by tile, dummy bones = BPD-1.
+
+    The predicate is support-exact for the hat taps: bone b can touch tile
+    t iff its grid-coordinate interval (interval arithmetic over the
+    tile's AABB) intersects (-1, G) on every axis — outside that, every
+    tap weight is exactly 0 (and so is every gradient)."""
+    NGB = 128 // G
+    NQ = BPD // NGB
+    n_tiles = pts_s.shape[0] // TILE_PG
+    p = pts_s.reshape(n_tiles, TILE_PG, 3)
+    lo = jnp.min(p, axis=1)                          # [n_tiles, 3]
+    hi = jnp.max(p, axis=1)
+    R = rgp.reshape(BPD, 3, 3)
+    a = lo[:, None, None, :] * R[None]               # [n_tiles, BPD, 3, 3]
+    b2 = hi[:, None, None, :] * R[None]
+    fmin = jnp.sum(jnp.minimum(a, b2), -1) + tgp[None]
+    fmax = jnp.sum(jnp.maximum(a, b2), -1) + tgp[None]
+    alive = jnp.all((fmax > -1.0) & (fmin < G), axis=-1)
+    alive = alive & (jnp.arange(BPD) < B)[None, :]   # pad channels dead
+
+    # alive bones first (stable by index), dead slots -> dummy bone
+    order = jnp.argsort(jnp.logical_not(alive), axis=1, stable=True)
+    acount = jnp.sum(alive, axis=1)                  # [n_tiles]
+    slot = jnp.arange(BPD)[None, :]
+    bones = jnp.where(slot < acount[:, None], order, BPD - 1)
+    bones = bones.reshape(n_tiles, NQ, NGB)
+
+    # quad q alive iff it holds any alive bone; quad 0 forced alive so
+    # every tile's output block gets initialized
+    qidx = jnp.arange(NQ)[None, :]
+    qalive = (qidx * NGB < acount[:, None]) | (qidx == 0)
+    flat_alive = qalive.reshape(-1)
+    pos = jnp.cumsum(flat_alive) - 1
+    n_pairs = pos[-1] + 1
+    cap = n_tiles * NQ
+    tgt = jnp.where(flat_alive, pos, cap)            # dead -> dropped
+    tile_of = jnp.repeat(jnp.arange(n_tiles, dtype=jnp.int32), NQ)
+    pair_tile = jnp.zeros((cap,), jnp.int32).at[tgt].set(
+        tile_of, mode="drop")
+    pair_bone = jnp.full((cap, NGB), BPD - 1, jnp.int32).at[tgt].set(
+        bones.reshape(cap, NGB).astype(jnp.int32), mode="drop")
+    return pair_tile, pair_bone, n_pairs
+
+
+def _pg_coef(rgp, tgp):
+    """[BPD, 12] SMEM scalar table: coef[b, 4c+k] = affine coefficient of
+    grid coord c wrt p_k (k<3), coef[b, 4c+3] = translation of coord c."""
+    return jnp.concatenate(
+        [jnp.concatenate([rgp[:, 3 * c:3 * c + 3], tgp[:, c:c + 1]], 1)
+         for c in range(3)], axis=1)
+
+
+def _coef_rows(coef_ref, bs, G: int, base: int):
+    """Lane-packed [1, 128] coefficient rows (4 per grid coordinate) from
+    the SMEM scalar table — the pair-grid analog of `_seg_vectors`' rows.
+    Built once per grid step from 16 scalars; keeps the per-sample chains
+    full-[T,128] (the per-bone [T,1] scalar-chain variant measured ~1.5x
+    per-iteration overhead — the round-2 lane-packing lesson repeats)."""
+    return [jnp.concatenate(
+        [jnp.full((1, G), coef_ref[b, base + k], jnp.float32) for b in bs],
+        axis=1) for k in range(4)]
+
+
+def _pg_segs(coef_ref, bs, x, y, z, G: int):
+    """Packed [T, 128] grid-coordinate chains for the quad's bones, plus
+    the coefficient rows (reused by the backward dpts chain)."""
+    rx = _coef_rows(coef_ref, bs, G, 0)
+    ry = _coef_rows(coef_ref, bs, G, 4)
+    rz = _coef_rows(coef_ref, bs, G, 8)
+    fxseg = x * rx[0] + y * rx[1] + z * rx[2] + rx[3]
+    fyseg = x * ry[0] + y * ry[1] + z * ry[2] + ry[3]
+    fzseg = x * rz[0] + y * rz[1] + z * rz[2] + rz[3]
+    return fxseg, fyseg, fzseg, rx, ry, rz
+
+
+def _pg_fwd_kernel(ptile_ref, pbone_ref, coef_ref, pts_ref, volq_ref,
+                   out_ref, *, G: int, prec: str):
+    """One (tile, bone-quad) pair: the inverse-LBS contribution of NGB
+    bones to one tile's grid-space accumulator. Same math as one `group`
+    iteration of `_inverse_fwd_kernel` with the lane-packed affine rows
+    built from SMEM scalars (segment-constant anyway)."""
+    NGB = 128 // G
+    i = pl.program_id(0)
+    prev = ptile_ref[jnp.maximum(i - 1, 0)]
+    first = jnp.logical_or(i == 0, ptile_ref[i] != prev)
+
+    x = pts_ref[:, 0:1]
+    y = pts_ref[:, 1:2]
+    z = pts_ref[:, 2:3]
+    T = x.shape[0]
+    x128 = _lane_iota_f(T, G)
+    xq2, yq2 = _xyq_iotas_f(T, G)
+    dt = jnp.bfloat16 if prec == "bf16" else jnp.float32
+
+    bs = [pbone_ref[i * NGB + j] for j in range(NGB)]
+    fxseg, fyseg, fzseg, _, _, _ = _pg_segs(coef_ref, bs, x, y, z, G)
+    zcs = []
+    for j in range(NGB):
+        c = slice(G * j, G * j + 1)
+        oh = (_hat(fxseg[:, c], xq2)
+              * _hat(fyseg[:, c], yq2)).astype(dt)        # [T, G*G]
+        zcs.append(_mm(oh, volq_ref[bs[j]], prec))        # [T, G]
+    zcols4 = jnp.concatenate(zcs, axis=1)                 # [T, 128]
+    P4 = _hat(fzseg, x128) * zcols4
+    contrib = jnp.concatenate(
+        [jnp.sum(P4 * fxseg, axis=1, keepdims=True),
+         jnp.sum(P4 * fyseg, axis=1, keepdims=True),
+         jnp.sum(P4 * fzseg, axis=1, keepdims=True),
+         jnp.sum(P4, axis=1, keepdims=True)], axis=1)
+
+    @pl.when(first)
+    def _set():
+        out_ref[:, :] = contrib
+
+    @pl.when(jnp.logical_not(first))
+    def _acc():
+        out_ref[:, :] += contrib
+
+
+def _pg_bwd_kernel(ptile_ref, pbone_ref, coef_ref, pts_ref, volq_ref,
+                   kseg_ref, gacc_ref, dpts_ref, dr_ref, dvol_ref,
+                   *, G: int, prec: str):
+    """Backward of one pair by recomputation (mirrors
+    `_inverse_bwd_kernel`'s group body). dpts accumulates into the
+    revisited tile block; dvol accumulates per bone via dynamic-index +=
+    into the full-size resident block; dr is written PER PAIR (block i)
+    and segment-summed by bone on the XLA side."""
+    NGB = 128 // G
+    i = pl.program_id(0)
+    prev = ptile_ref[jnp.maximum(i - 1, 0)]
+    first = jnp.logical_or(i == 0, ptile_ref[i] != prev)
+
+    @pl.when(i == 0)
+    def _init():
+        dvol_ref[:, :, :] = jnp.zeros_like(dvol_ref)
+
+    x = pts_ref[:, 0:1]
+    y = pts_ref[:, 1:2]
+    z = pts_ref[:, 2:3]
+    T = x.shape[0]
+    x128 = _lane_iota_f(T, G)
+    xq2, yq2 = _xyq_iotas_f(T, G)
+    dt = jnp.bfloat16 if prec == "bf16" else jnp.float32
+
+    gx = gacc_ref[:, 0:1]
+    gy = gacc_ref[:, 1:2]
+    gz = gacc_ref[:, 2:3]
+    gw_sum = gacc_ref[:, 3:4]
+    dims_t = (((0,), (0,)), ((), ()))
+    p4 = jnp.concatenate([x, y, z, jnp.ones_like(x)], axis=1)  # [T, 4]
+
+    bs = [pbone_ref[i * NGB + j] for j in range(NGB)]
+    fxseg, fyseg, fzseg, rx, ry, rz = _pg_segs(coef_ref, bs, x, y, z, G)
+    zcs, dfxrs, dfyrs = [], [], []
+    gw4 = gx * fxseg + gy * fyseg + gz * fzseg + gw_sum
+    tz4 = _hat(fzseg, x128)
+    dhz4 = _dhat(_clipped_floor(fzseg, G), x128)
+
+    for j in range(NGB):
+        b = bs[j]
+        c = slice(G * j, G * j + 1)
+        s = slice(G * j, G * (j + 1))
+        hx = _hat(fxseg[:, c], xq2)
+        hy = _hat(fyseg[:, c], yq2)
+        oh = (hx * hy).astype(dt)                       # [T, G*G]
+        zc = _mm(oh, volq_ref[b], prec)                 # [T, G]
+        m2 = _mm((_dhat(_clipped_floor(fxseg[:, c], G), xq2)
+                  * hy).astype(dt), volq_ref[b], prec)
+        m3 = _mm((hx * _dhat(_clipped_floor(fyseg[:, c], G), yq2)
+                  ).astype(dt), volq_ref[b], prec)
+        tzj = tz4[:, s]
+        dvol_ref[b] += _mm(oh, gw4[:, c] * tzj, prec, dims=dims_t)
+        zcs.append(zc)
+        dfxrs.append(jnp.broadcast_to(
+            jnp.sum(m2 * tzj, axis=1, keepdims=True), (T, G)))
+        dfyrs.append(jnp.broadcast_to(
+            jnp.sum(m3 * tzj, axis=1, keepdims=True), (T, G)))
+    zcols4 = jnp.concatenate(zcs, axis=1)
+    dfxr4 = jnp.concatenate(dfxrs, axis=1)
+    dfyr4 = jnp.concatenate(dfyrs, axis=1)
+
+    def segsum(q):
+        return _mm(q, kseg_ref[:, :], "highest")
+
+    wB4 = segsum(tz4 * zcols4)
+    dfx4 = gx * wB4 + gw4 * dfxr4
+    dfy4 = gy * wB4 + gw4 * dfyr4
+    dfz4 = gz * wB4 + gw4 * segsum(dhz4 * zcols4)
+
+    dr_ref[0, 0] = _mm(p4, dfx4, "highest", dims=dims_t)
+    dr_ref[0, 1] = _mm(p4, dfy4, "highest", dims=dims_t)
+    dr_ref[0, 2] = _mm(p4, dfz4, "highest", dims=dims_t)
+
+    # chain through the bone affines (coefficient rows reused from
+    # `_pg_segs`); df<c>4 lanes overcount by G -> 1/G
+    inv_g = jnp.float32(1.0 / G)
+    contrib = inv_g * jnp.concatenate(
+        [jnp.sum(dfx4 * rx[k] + dfy4 * ry[k] + dfz4 * rz[k],
+                 axis=1, keepdims=True) for k in range(3)], axis=1)
+
+    @pl.when(first)
+    def _set():
+        dpts_ref[:, :] = contrib
+
+    @pl.when(jnp.logical_not(first))
+    def _acc():
+        dpts_ref[:, :] += contrib
+
+
+def _pg_pad_shapes(B: int, G: int):
+    """(NGB, BPD): bones padded so BPD is a quad multiple AND has at
+    least one dummy (zero-volume) channel for dead lanes."""
+    NGB, BP = _pack_shape(B, G)
+    return NGB, (BP if BP > B else BP + NGB)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def inverse_core_pg(pts_g, rg, tg, vol_qz, prec="bf16"):
+    """Pair-grid inverse-LBS accumulation — same contract and (up to f32
+    summation order) same values as `inverse_core`, at ~the in-support
+    pair density of the work."""
+    return _pg_fwd(pts_g, rg, tg, vol_qz, prec)[0]
+
+
+def _pg_vol(vol_qz, BPD, dt):
+    B = vol_qz.shape[0]
+    return jnp.pad(vol_qz, ((0, BPD - B), (0, 0), (0, 0))).astype(dt)
+
+
+def _pg_fwd(pts_g, rg, tg, vol_qz, prec):
+    B, QQ, G = vol_qz.shape
+    assert QQ == G * G, "inverse_core_pg needs cubic volumes"
+    NGB, BPD = _pg_pad_shapes(B, G)
+    pts_p, n = _pad_rows(pts_g.astype(jnp.float32), TILE_PG)
+    perm = _group_sort_perm(pts_p)
+    pts_s = pts_p[perm]
+    rgp = jnp.pad(rg.astype(jnp.float32), ((0, BPD - B), (0, 0)))
+    tgp = jnp.pad(tg.astype(jnp.float32), ((0, BPD - B), (0, 0)))
+    pair_tile, pair_bone, n_pairs = _build_pairs(pts_s, rgp, tgp, B, BPD, G)
+    coef = _pg_coef(rgp, tgp)
+    dt = jnp.bfloat16 if prec == "bf16" else jnp.float32
+    vol = _pg_vol(vol_qz, BPD, dt)
+    n_tiles = pts_s.shape[0] // TILE_PG
+
+    kern = functools.partial(_pg_fwd_kernel, G=G, prec=prec)
+    acc_s = pl.pallas_call(
+        kern,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(n_pairs,),
+            in_specs=[
+                pl.BlockSpec((TILE_PG, 3), lambda i, pt, pb, cf: (pt[i], 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((BPD, G * G, G), lambda i, pt, pb, cf:
+                             (0, 0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((TILE_PG, 4), lambda i, pt, pb, cf:
+                                   (pt[i], 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=jax.ShapeDtypeStruct((pts_s.shape[0], 4), jnp.float32),
+        interpret=_interpret(),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 2**20),
+    )(pair_tile, pair_bone.reshape(-1), coef, pts_s, vol)
+    acc = jnp.zeros_like(acc_s).at[perm].set(acc_s)[:n]
+    return acc, (pts_s, rg, tg, vol_qz, pair_tile, pair_bone, n_pairs,
+                 perm, n)
+
+
+def _pg_bwd(prec, res, gacc):
+    pts_s, rg, tg, vol_qz, pair_tile, pair_bone, n_pairs, perm, n = res
+    B, QQ, G = vol_qz.shape
+    NGB, BPD = _pg_pad_shapes(B, G)
+    n_pad = pts_s.shape[0]
+    cap = pair_tile.shape[0]
+    gacc_p = jnp.zeros((n_pad, 4), jnp.float32).at[:n].set(
+        gacc.astype(jnp.float32))[perm]
+    rgp = jnp.pad(rg.astype(jnp.float32), ((0, BPD - B), (0, 0)))
+    tgp = jnp.pad(tg.astype(jnp.float32), ((0, BPD - B), (0, 0)))
+    coef = _pg_coef(rgp, tgp)
+    dt = jnp.bfloat16 if prec == "bf16" else jnp.float32
+    vol = _pg_vol(vol_qz, BPD, dt)
+    lane = np.arange(128)
+    kseg = jnp.asarray((lane[:, None] // G) == (lane[None, :] // G),
+                       jnp.float32)
+
+    kern = functools.partial(_pg_bwd_kernel, G=G, prec=prec)
+    dpts_s, dr_pairs, dvol = pl.pallas_call(
+        kern,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(n_pairs,),
+            in_specs=[
+                pl.BlockSpec((TILE_PG, 3), lambda i, pt, pb, cf: (pt[i], 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((BPD, G * G, G), lambda i, pt, pb, cf:
+                             (0, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((128, 128), lambda i, pt, pb, cf: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((TILE_PG, 4), lambda i, pt, pb, cf: (pt[i], 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((TILE_PG, 3), lambda i, pt, pb, cf: (pt[i], 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 3, 4, 128), lambda i, pt, pb, cf:
+                             (i, 0, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((BPD, G * G, G), lambda i, pt, pb, cf:
+                             (0, 0, 0), memory_space=pltpu.VMEM),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((n_pad, 3), jnp.float32),
+            jax.ShapeDtypeStruct((cap, 3, 4, 128), jnp.float32),
+            jax.ShapeDtypeStruct((BPD, QQ, G), jnp.float32),
+        ],
+        interpret=_interpret(),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 2**20),
+    )(pair_tile, pair_bone.reshape(-1), coef, pts_s, vol, kseg, gacc_p)
+
+    dpts = jnp.zeros_like(dpts_s).at[perm].set(dpts_s)[:n]
+    # dr: mask tail (blocks past n_pairs are never written -> garbage),
+    # pick each quad-lane's segment start, segment-sum by bone
+    valid = (jnp.arange(cap) < n_pairs)[:, None, None, None]
+    drm = jnp.where(valid, dr_pairs, 0.0)
+    sub = drm[:, :, :, G * np.arange(NGB)]           # [cap, 3, 4, NGB]
+    sub = jnp.transpose(sub, (0, 3, 1, 2)).reshape(cap * NGB, 12)
+    per_bone = jax.ops.segment_sum(
+        sub, pair_bone.reshape(-1), num_segments=BPD)  # [BPD, 12]
+    per_bone = per_bone.reshape(BPD, 3, 4)
+    drg = per_bone[:B, :, :3].reshape(B, 9)
+    dtg = per_bone[:B, :, 3]
+    return (dpts.astype(jnp.float32), drg.astype(rg.dtype),
+            dtg.astype(tg.dtype), dvol[:B].astype(vol_qz.dtype))
+
+
+inverse_core_pg.defvjp(
+    lambda p, r, t, v, prec: _pg_fwd(p, r, t, v, prec), _pg_bwd)
+
+
+# ---------------------------------------------------------------------------
 # shared-tap kernel: all bones sampled at the same points
 # ---------------------------------------------------------------------------
 
@@ -730,10 +1133,14 @@ def _grid_affine(bbox_min, bbox_scale, G: int):
 
 def inverse_lbs(pts, motion_scale_Rs, motion_Ts, motion_weights_vol,
                 cnl_bbox_min_xyz, cnl_bbox_scale_xyz, *,
-                precision: str = "bf16") -> Tuple[jnp.ndarray, jnp.ndarray]:
+                precision: str = "bf16",
+                pair_grid: bool = True) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Pallas inverse LBS. Same contract as ops/lbs.inverse_lbs but
     returns only (x_skel [N,3], fg_likelihood_mask [N,1]) — the call
-    sites discard the per-bone weights (models/human.py:207)."""
+    sites discard the per-bone weights (models/human.py:207).
+    pair_grid=True (default) runs the compacted-pair kernel (identical
+    values up to f32 summation order; ~2x fewer executed (tile, bone)
+    pairs); False runs the dense tile kernel."""
     B = motion_weights_vol.shape[0] - 1
     D, H, W = motion_weights_vol.shape[1:]
     assert D == H == W, "pallas inverse_lbs assumes cubic volumes"
@@ -746,7 +1153,8 @@ def inverse_lbs(pts, motion_scale_Rs, motion_Ts, motion_weights_vol,
     # vol[b, z, y, x] -> [b, x*G+y, z] (xy-onehot kernel layout)
     vol_qz = jnp.transpose(motion_weights_vol[:B], (0, 3, 2, 1)).reshape(
         B, G * G, G)
-    acc = inverse_core(pts, rg, tg, vol_qz, precision)
+    core = inverse_core_pg if pair_grid else inverse_core
+    acc = core(pts, rg, tg, vol_qz, precision)
     wsum = acc[:, 3:4]
     m = jnp.maximum(wsum, 1e-4)
     # grid-space accumulator back to world: p = (f - o)/s

@@ -129,3 +129,97 @@ def test_inverse_warp_dispatch(data):
         tol = 2e-2 if impl == "pallas" else 1e-5  # pallas default = bf16
         assert float(jnp.abs(xs - xs_ref).max(axis=1)[m].max()) < tol
         np.testing.assert_allclose(fg, fg_ref, atol=tol)
+
+
+# ---------------------------------------------------------------------------
+# pair-grid kernel (compacted (tile, bone) pairs, dynamic grid)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def data_pg():
+    """Production-shaped small case: G=32 (NGB=4, 7 quads/tile), 26 bones,
+    HALF the bones translated far outside the grid so the support
+    predicate has real work to do."""
+    rng = np.random.RandomState(1)
+    Bb, Gg = 26, 32
+    N = 700
+    pts = jnp.asarray(rng.randn(N, 3) * 0.7, jnp.float32)
+    Rs = np.stack([np.eye(3) + 0.1 * rng.randn(3, 3) for _ in range(Bb)])
+    Ts = 0.2 * rng.randn(Bb, 3)
+    Ts[::2] += 50.0  # every other bone far out of support
+    vol = jax.nn.softmax(
+        jnp.asarray(rng.randn(Bb + 1, Gg, Gg, Gg), jnp.float32), axis=0)
+    bmin = jnp.asarray([-1.3, -1.1, -1.2], jnp.float32)
+    bscale = jnp.asarray([0.9, 1.0, 1.1], jnp.float32)
+    return (pts, jnp.asarray(Rs, jnp.float32), jnp.asarray(Ts, jnp.float32),
+            vol, bmin, bscale)
+
+
+def test_pairgrid_values_match_dense_and_gather(data_pg):
+    pts, Rs, Ts, vol, bmin, bscale = data_pg
+    xs_ref, fg_ref, _ = xlbs.inverse_lbs_gather(pts, Rs, Ts, vol, bmin,
+                                                bscale)
+    xs, fg = plbs.inverse_lbs(pts, Rs, Ts, vol, bmin, bscale,
+                              precision="highest", pair_grid=True)
+    np.testing.assert_allclose(fg, fg_ref, atol=3e-6)
+    m = fg_ref[:, 0] > 1e-4
+    err = jnp.abs(xs - xs_ref).max(axis=1)
+    assert float(err[m].max()) < 1e-5
+    xs_d, fg_d = plbs.inverse_lbs(pts, Rs, Ts, vol, bmin, bscale,
+                                  precision="highest", pair_grid=False)
+    np.testing.assert_allclose(fg, fg_d, atol=3e-6)
+
+
+def test_pairgrid_actually_compacts(data_pg):
+    pts, Rs, Ts, vol, bmin, bscale = data_pg
+    Bb, Gg = 26, 32
+    s, o = plbs._grid_affine(bmin, bscale, Gg)
+    rg = (Rs * s[None, :, None]).reshape(Bb, 9)
+    tg = Ts * s[None, :] + o[None, :]
+    NGB, BPD = plbs._pg_pad_shapes(Bb, Gg)
+    rgp = jnp.pad(rg, ((0, BPD - Bb), (0, 0)))
+    tgp = jnp.pad(tg, ((0, BPD - Bb), (0, 0)))
+    pts_p, _ = plbs._pad_rows(pts, plbs.TILE_PG)
+    perm = plbs._group_sort_perm(pts_p)
+    pair_tile, pair_bone, n_pairs = plbs._build_pairs(
+        pts_p[perm], rgp, tgp, Bb, BPD, Gg)
+    cap = pair_tile.shape[0]
+    n_tiles = pts_p.shape[0] // plbs.TILE_PG
+    assert int(n_pairs) >= n_tiles          # quad 0 forced per tile
+    # half the bones are far away -> at most ~(13 alive + pad)/bone-quads
+    assert int(n_pairs) <= n_tiles * (13 // NGB + 2)
+    # pairs sorted by tile, contiguous
+    t = np.asarray(pair_tile)[: int(n_pairs)]
+    assert (np.diff(t) >= 0).all()
+    # dummy bones only in dead slots, real bones distinct per tile
+    pb = np.asarray(pair_bone)[: int(n_pairs)]
+    for tile in range(n_tiles):
+        bones = pb[t == tile].reshape(-1)
+        real = bones[bones < Bb]
+        assert len(np.unique(real)) == len(real)
+
+
+def test_pairgrid_grads_match_dense(data_pg):
+    pts, Rs, Ts, vol, bmin, bscale = data_pg
+
+    def loss(fn, p, R, T, v):
+        xs, fg = fn(p, R, T, v, bmin, bscale)
+        w = jnp.concatenate([jnp.cos(xs), jnp.sin(fg)], axis=1)
+        return jnp.sum(w * jnp.arange(w.size).reshape(w.shape))
+
+    import functools
+    f_pg = functools.partial(plbs.inverse_lbs, precision="highest",
+                             pair_grid=True)
+    f_dn = functools.partial(plbs.inverse_lbs, precision="highest",
+                             pair_grid=False)
+    g_pg = jax.grad(lambda *a: loss(f_pg, *a), argnums=(0, 1, 2, 3))(
+        pts, Rs, Ts, vol)
+    g_dn = jax.grad(lambda *a: loss(f_dn, *a), argnums=(0, 1, 2, 3))(
+        pts, Rs, Ts, vol)
+    names = ["dpts", "dRs", "dTs", "dvol"]
+    for nm, a, b in zip(names, g_pg, g_dn):
+        scale = max(float(jnp.abs(b).max()), 1e-6)
+        np.testing.assert_allclose(np.asarray(a) / scale,
+                                   np.asarray(b) / scale,
+                                   atol=5e-5, err_msg=nm)
