@@ -101,12 +101,44 @@ _PREC = jax.lax.Precision.HIGHEST
 
 
 def rigid_inverse(G: jnp.ndarray) -> jnp.ndarray:
-    """Closed-form inverse of rigid 4x4 transforms [..., 4, 4]."""
+    """Closed-form inverse of rigid 4x4 transforms [..., 4, 4].
+
+    Assumes the rotation block is orthonormal — use `affine_inverse` when
+    it may not be (see motion_bases)."""
     R = G[..., :3, :3]
     t = G[..., :3, 3]
     Rt = jnp.swapaxes(R, -1, -2)
     new_t = -jnp.einsum("...ij,...j->...i", Rt, t, precision=_PREC)
     top = jnp.concatenate([Rt, new_t[..., :, None]], axis=-1)
+    bottom = jnp.broadcast_to(
+        jnp.array([0.0, 0.0, 0.0, 1.0], G.dtype), G.shape[:-2] + (1, 4))
+    return jnp.concatenate([top, bottom], axis=-2)
+
+
+def affine_inverse(G: jnp.ndarray) -> jnp.ndarray:
+    """Exact closed-form inverse of affine 4x4 transforms [..., 4, 4]
+    (general invertible 3x3 block, via the adjugate — no LU, batches and
+    vectorizes trivially on TPU).
+
+    Why not `rigid_inverse`: the reference's Rodrigues
+    (body_util.py:210-228, mirrored in `_rvec_to_rmtx_np`) normalizes the
+    axis as rvec/(theta + 1e-5), so its "rotations" are systematically
+    ~1e-4 NON-orthonormal at small angles. The reference inverts the FK
+    chain with torch.inverse (network_util.py:160), which is exact for
+    those; transposing instead inherits the 1e-4 error into the bone
+    transforms, which the canonical MLP's 2^9 positional-encoding band
+    amplifies to ~1e-2 density drift (measured via the end-to-end golden,
+    tests/test_human_golden_weights.py)."""
+    R = G[..., :3, :3]
+    t = G[..., :3, 3]
+    # adjugate^T rows = cross products of R's columns
+    c0, c1, c2 = R[..., :, 0], R[..., :, 1], R[..., :, 2]
+    adj = jnp.stack([jnp.cross(c1, c2), jnp.cross(c2, c0),
+                     jnp.cross(c0, c1)], axis=-2)      # [..., 3, 3]
+    det = jnp.sum(c0 * jnp.cross(c1, c2), axis=-1)[..., None, None]
+    Rinv = adj / det
+    new_t = -jnp.einsum("...ij,...j->...i", Rinv, t, precision=_PREC)
+    top = jnp.concatenate([Rinv, new_t[..., :, None]], axis=-1)
     bottom = jnp.broadcast_to(
         jnp.array([0.0, 0.0, 0.0, 1.0], G.dtype), G.shape[:-2] + (1, 4))
     return jnp.concatenate([top, bottom], axis=-2)
@@ -145,16 +177,17 @@ def motion_bases(dst_Rs: jnp.ndarray, dst_Ts: jnp.ndarray,
     dst_Rs: [..., B, 3, 3]; dst_Ts: [..., B, 3]; cnl_gtfms: [..., B, 4, 4].
     Returns (scale_Rs, Ts, scale_Rs_fwd, Ts_fwd).
     ref: network_util.py:134-174 (torch.inverse replaced by the closed-form
-    rigid inverse).
+    adjugate affine inverse — exact for the reference's ~1e-4
+    non-orthonormal Rodrigues rotations, see `affine_inverse`).
     """
     local_Gs = construct_G(dst_Rs, dst_Ts)
     dst_gtfms = forward_kinematics(local_Gs, local_Gs.shape[-3])
 
-    f_mtx = jnp.matmul(cnl_gtfms, rigid_inverse(dst_gtfms), precision=_PREC)
+    f_mtx = jnp.matmul(cnl_gtfms, affine_inverse(dst_gtfms), precision=_PREC)
     scale_Rs = f_mtx[..., :3, :3]
     Ts = f_mtx[..., :3, 3]
 
-    f_fwd = jnp.matmul(dst_gtfms, rigid_inverse(cnl_gtfms), precision=_PREC)
+    f_fwd = jnp.matmul(dst_gtfms, affine_inverse(cnl_gtfms), precision=_PREC)
     scale_Rs_fwd = f_fwd[..., :3, :3]
     Ts_fwd = f_fwd[..., :3, 3]
     return scale_Rs, Ts, scale_Rs_fwd, Ts_fwd

@@ -40,6 +40,24 @@ def test_rigid_inverse_matches_linalg(rng_np):
     np.testing.assert_allclose(inv, np.linalg.inv(G), atol=1e-5)
 
 
+def test_affine_inverse_matches_linalg_nonorthonormal(rng_np):
+    """motion_bases must invert the reference's ~1e-4 NON-orthonormal
+    Rodrigues rotations exactly (ref body_util.py normalizes the axis as
+    rvec/(theta+1e-5)); `affine_inverse` handles a general invertible
+    3x3 block."""
+    R = _random_rotations(rng_np, 10)
+    R = R * (1.0 + 1e-4 * rng_np.normal(size=(10, 1, 1))).astype(np.float32)
+    R += 1e-4 * rng_np.normal(size=R.shape).astype(np.float32)
+    t = rng_np.normal(size=(10, 3)).astype(np.float32)
+    G = np.asarray(body.construct_G(jnp.asarray(R), jnp.asarray(t)))
+    inv = np.asarray(body.affine_inverse(jnp.asarray(G)))
+    np.testing.assert_allclose(inv, np.linalg.inv(G.astype(np.float64)),
+                               atol=1e-6)
+    # rigid_inverse on these is ~1e-4 off — the regression this guards
+    rinv = np.asarray(body.rigid_inverse(jnp.asarray(G)))
+    assert np.abs(rinv - np.linalg.inv(G.astype(np.float64))).max() > 2e-5
+
+
 def test_forward_kinematics_translation_chain():
     # a pure-translation chain reproduces cumulative joint positions
     joints = np.cumsum(np.ones((body.TOTAL_BONES, 3), np.float32) * 0.1, 0)
