@@ -170,6 +170,148 @@ def bench_reference(np_batch) -> float:
     return (time.perf_counter() - t0) / ITERS
 
 
+def _lpips_vgg16_random(torch):
+    """A torch module with EXACTLY the reference LPIPS-VGG16 compute graph
+    (third_parties/lpips/pretrained_networks.py: torchvision vgg16
+    .features conv stack, taps after relu1_2/2_2/3_3/4_3/5_3; lpips.py:
+    unit-normalize each tap, 1x1 lin heads, spatial average, sum) but
+    RANDOM weights — torchvision's pretrained weights are unavailable in
+    this zero-egress image and do not change the FLOP count being timed."""
+    import torch.nn as nn
+
+    cfgs = [64, 64, "M", 128, 128, "M", 256, 256, 256, "M",
+            512, 512, 512, "M", 512, 512, 512]
+    taps_after = {1, 3, 6, 9, 12}  # conv indices of relu1_2..relu5_3
+    chns = [64, 128, 256, 512, 512]
+
+    class LPIPSRand(nn.Module):
+        def __init__(self):
+            super().__init__()
+            layers, c_in, conv_i = [], 3, 0
+            self.tap_layer_idx = []
+            for v in cfgs:
+                if v == "M":
+                    layers.append(nn.MaxPool2d(2, 2, ceil_mode=True))
+                else:
+                    layers += [nn.Conv2d(c_in, v, 3, padding=1),
+                               nn.ReLU(inplace=False)]
+                    if conv_i in taps_after:
+                        self.tap_layer_idx.append(len(layers) - 1)
+                    c_in = v
+                    conv_i += 1
+            self.features = nn.Sequential(*layers)
+            self.lins = nn.ModuleList(
+                [nn.Conv2d(c, 1, 1, bias=False) for c in chns])
+
+        def forward(self, x, y):
+            outs = []
+            for inp in (x, y):
+                feats, h = [], inp
+                for i, layer in enumerate(self.features):
+                    h = layer(h)
+                    if i in self.tap_layer_idx:
+                        feats.append(h / (h.norm(dim=1, keepdim=True)
+                                          + 1e-10))
+                outs.append(feats)
+            val = 0.0
+            for lin, fx, fy in zip(self.lins, outs[0], outs[1]):
+                val = val + lin((fx - fy) ** 2).mean(dim=(2, 3))
+            return val
+
+    return LPIPSRand()
+
+
+def bench_reference_full(np_batch) -> float:
+    """The reference's FULL stage-3 step: scene + human networks forward,
+    the training_step sample merge (tools/ref_merge_dump.merge_mirror —
+    verbatim statements), its losses (mse 0.2 + lpips 1.0 + cycle 0.01 +
+    flow 0.01, model.py:1695-1740 + configs/default.yaml:98-102) with an
+    identically-shaped random-weight LPIPS-VGG16, backward, and a torch
+    Adam step over both models — symmetric with `bench_ours` (which is
+    also a full step)."""
+    import torch
+    torch.set_num_threads(os.cpu_count() or 1)
+    scene, human, cfg = _load_reference_models()
+    import src.model.mipnerf360.model as refmodel
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    from ref_merge_dump import merge_mirror
+
+    b = _torch_batch(np_batch)
+    batch_bkg = {
+        "rays_o": b["rays_o_bkg"], "rays_d": b["rays_d_bkg"],
+        "viewdirs": b["viewdirs_bkg"], "radii": b["radii"],
+        "times": b["time"].reshape(1),
+    }
+    human_kwargs = dict(
+        rays=b["rays"], dst_Rs=b["dst_Rs"], dst_Ts=b["dst_Ts"],
+        cnl_gtfms=b["cnl_gtfms"],
+        motion_weights_priors=b["motion_weights_priors"],
+        dst_posevec=b["dst_posevec"], near=b["near"], far=b["far"],
+        iter_val=100.0, is_train=True, time=b["time"],
+        dst_Rs_prev=b["dst_Rs_prev"], dst_Ts_prev=b["dst_Ts_prev"],
+        dst_posevec_prev=b["dst_posevec_prev"],
+        cnl_bbox_min_xyz=b["cnl_bbox_min_xyz"],
+        cnl_bbox_scale_xyz=b["cnl_bbox_scale_xyz"],
+        bgcolor=b["bgcolor"], ray_grid=b["ray_grid"],
+        newsmpl_to_camera_prev=b["newsmpl_to_camera_prev"],
+        intrinsics_prev=b["intrinsics_prev"],
+        newsmpl_to_scale_world=b["newsmpl_to_scale_world"],
+    )
+    lpips = _lpips_vgg16_random(torch)
+    opt = torch.optim.Adam(
+        list(scene.parameters()) + list(human.parameters())
+        + list(lpips.lins.parameters()), lr=5e-4)
+    w = cfg.train.lossweights
+    n_patches, psz = b["patch_masks"].shape[0], b["patch_masks"].shape[1]
+    targets = b["target_patches"]
+
+    def one_step():
+        _, ray_history = scene(batch_bkg, 1.0, True, True, 0.1, 1e6)
+        out = human(**human_kwargs)
+        d = {
+            "rays_o": batch_bkg["rays_o"], "rays_d": batch_bkg["rays_d"],
+            "tdist": ray_history[-1]["tdist"],
+            "bkg_rgb": ray_history[-1]["rgb"],
+            "bkg_density": ray_history[-1]["density"],
+            "newsmpl_pts": out["newsmpl_pts"], "hum_rgb": out["human_rgb"],
+            "hum_density": out["human_density"],
+            "pts_mask": out["pts_mask"],
+        }
+        m = merge_mirror(torch, refmodel, d, b["newsmpl_to_scale_world"])
+        rgb_patches = m["rgb"].reshape(n_patches, psz, psz, 3)
+        mse = ((rgb_patches - targets) ** 2).mean()
+        lp = lpips(rgb_patches.permute(0, 3, 1, 2) * 2 - 1,
+                   targets.permute(0, 3, 1, 2) * 2 - 1).mean()
+        dis = out["observe_pts"] - out["deform_pts_final"]
+        cycle = torch.mean(torch.sum(dis ** 2, 1) / 2.0)
+        # flow_func mirror (model.py:1723-1731)
+        idx_fg = m["idx_fg"]
+        from src.model.mipnerf360.model import img2mae, to_homogeneous
+        dp = out["deform_pts_prev_final"][idx_fg]
+        pts_prev_cam = torch.einsum(
+            'ji, bni->bnj', b["newsmpl_to_camera_prev"],
+            to_homogeneous(dp))[..., :3]
+        p2_ = torch.einsum('ji, bni->bnj', b["intrinsics_prev"],
+                           pts_prev_cam)
+        p2 = p2_[..., :-1] / p2_[..., -1:]
+        rg = b["ray_grid"][idx_fg].unsqueeze(1).repeat(1, p2.shape[1], 1)
+        flow = img2mae(p2 - rg[..., :2], rg[..., 2:4],
+                       m["human_weights_fg"],
+                       rg[..., -1].unsqueeze(-1))
+        loss = (w["mse"] * mse + w["lpips"] * lp + w["cycle"] * cycle
+                + w["flow"] * flow)
+        opt.zero_grad(set_to_none=True)
+        loss.backward()
+        opt.step()
+        return float(loss.detach())
+
+    one_step()  # warmup
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        one_step()
+    return (time.perf_counter() - t0) / ITERS
+
+
 def bench_ours(np_batch) -> float:
     import jax
     jax.config.update("jax_platforms", "cpu")
@@ -247,12 +389,28 @@ def main():
     sys.path.insert(0, REPO)
     from hosnerf_tpu.data import synthetic
 
-    if os.environ.get("AB_STAGE", "3") == "1":
+    mode = os.environ.get("AB_STAGE", "3")
+    if mode == "1":
         rays = N_PATCHES * PATCH * PATCH
         np_batch = synthetic.scene_ray_batch(rays)
         ours = bench_ours_stage1(np_batch)
         ref = bench_reference_stage1(np_batch)
         metric = "stage1_cpu_ab_sec_per_step"
+        ref_key = "reference_networks_fwd_bwd_sec"
+        note = ("reference side excludes merge/losses/optimizer (lower "
+                "bound on its step); ours is the full train step")
+    elif mode == "full":
+        np_batch = synthetic.composed_batch(N_PATCHES, PATCH,
+                                            grid_size=GRID)
+        ours = bench_ours(np_batch)
+        ref = bench_reference_full(np_batch)
+        rays = N_PATCHES * PATCH * PATCH
+        metric = "stage3_cpu_ab_full_sec_per_step"
+        ref_key = "reference_full_step_sec"
+        note = ("SYMMETRIC anchor: both sides are the full stage-3 step "
+                "(networks + merge + mse/lpips/cycle/flow losses + "
+                "backward + Adam) at identical shapes on this host CPU; "
+                "reference LPIPS backbone is random-weight (same FLOPs)")
     else:
         np_batch = synthetic.composed_batch(N_PATCHES, PATCH,
                                             grid_size=GRID)
@@ -260,14 +418,17 @@ def main():
         ref = bench_reference(np_batch)
         rays = N_PATCHES * PATCH * PATCH
         metric = "stage3_cpu_ab_sec_per_step"
+        ref_key = "reference_networks_fwd_bwd_sec"
+        note = ("reference side excludes merge/losses/optimizer (lower "
+                "bound on its step); ours is the full train step")
     print(json.dumps({
         "metric": metric,
         "rays": rays,
-        "reference_networks_fwd_bwd_sec": round(ref, 3),
+        ref_key: round(ref, 3),
         "ours_full_step_sec": round(ours, 3),
-        "speedup_ours_vs_reference_lower_bound": round(ref / ours, 3),
-        "note": ("reference side excludes merge/losses/optimizer (lower "
-                 "bound on its step); ours is the full train step"),
+        "speedup_ours_vs_reference" + (
+            "" if mode == "full" else "_lower_bound"): round(ref / ours, 3),
+        "note": note,
     }))
 
 

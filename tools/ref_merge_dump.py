@@ -49,18 +49,18 @@ def fabricate():
                 hum_density=hum_density, pts_mask=pts_mask)
 
 
-def main(out_npz):
-    import torch
+def merge_mirror(torch, refmodel, d, M):
+    """The reference stage-3 sample merge + compositing, differentiable
+    (model.py:1524-1596 verbatim mirror; also reused by
+    bench_ref_cpu.bench_reference_full for the full-step anchor).
 
-    import bench_ref_cpu as ab
-    ab._load_reference_models()
-    import src.model.mipnerf360.model as refmodel
+    d: dict of torch tensors (rays_o/rays_d [R,3], tdist [R,NB+1],
+    bkg_rgb/bkg_density, newsmpl_pts/hum_rgb/hum_density/pts_mask);
+    M: newsmpl->scale-world [4,4]. Returns the merge outputs keyed as the
+    golden test expects."""
     from src.model.mipnerf360.model import to_homogeneous
+    R = d["rays_o"].shape[0]
 
-    d = {k: torch.from_numpy(v) for k, v in fabricate().items()}
-    M = torch.eye(4)
-
-    # ---- model.py:1524-1596, verbatim mirror ----
     scaleworld_pts = torch.einsum(
         'ji, bni->bnj', M, to_homogeneous(d["newsmpl_pts"]))[..., :3]
     z_vals_human_ = ((scaleworld_pts - d["rays_o"][..., None, :])
@@ -114,15 +114,25 @@ def main(out_npz):
     rgb_onlybg, alpha_onlybg, _, depth_onlybg = refmodel._raw2outputs(
         bkg_out_onlybg, z_vals_bkg_onlybg, d["rays_d"][idx_bg],
         pts_mask_bkg_onlybg)
-    rgb_batch[idx_bg] = rgb_onlybg
+    rgb_batch = rgb_batch.index_put((idx_bg.nonzero().squeeze(-1),),
+                                    rgb_onlybg)
+    return dict(idx_fg=idx_fg, rgb=rgb_batch, alpha_fg=alpha_onlyfg,
+                depth_fg=depth_onlyfg, alpha_bg=alpha_onlybg,
+                depth_bg=depth_onlybg,
+                human_weights_fg=human_weights_onlyfg,
+                z_human=z_vals_human_all)
 
-    np.savez(
-        out_npz,
-        idx_fg=idx_fg.numpy(), rgb=rgb_batch.numpy(),
-        alpha_fg=alpha_onlyfg.numpy(), depth_fg=depth_onlyfg.numpy(),
-        alpha_bg=alpha_onlybg.numpy(), depth_bg=depth_onlybg.numpy(),
-        human_weights_fg=human_weights_onlyfg.numpy(),
-        z_human=z_vals_human_all.numpy())
+
+def main(out_npz):
+    import torch
+
+    import bench_ref_cpu as ab
+    ab._load_reference_models()
+    import src.model.mipnerf360.model as refmodel
+
+    d = {k: torch.from_numpy(v) for k, v in fabricate().items()}
+    out = merge_mirror(torch, refmodel, d, torch.eye(4))
+    np.savez(out_npz, **{k: v.detach().numpy() for k, v in out.items()})
     print("dumped", out_npz)
 
 
