@@ -39,13 +39,18 @@ PROGRESS_STEPS = (100, 300, 1000, 2500)
 
 
 class MetricLogger:
-    """JSONL + stdout metric logging with step-time/rays-per-sec counters."""
+    """JSONL + stdout + TensorBoard metric logging with
+    step-time/rays-per-sec counters (TB scalar events mirror the
+    reference's Lightning TensorBoardLogger artifacts,
+    ref: 1st run.py:101-104; writer: utils/tb_writer.py)."""
 
     def __init__(self, logdir: str, log_every: int = 100):
         os.makedirs(logdir, exist_ok=True)
         self.path = os.path.join(logdir, "metrics.jsonl")
         self.log_every = log_every
         self._f = open(self.path, "a")
+        from hosnerf_tpu.utils.tb_writer import TBWriter
+        self._tb = TBWriter(logdir)
         self._t_last = time.perf_counter()
         self._step_last = 0
 
@@ -70,12 +75,17 @@ class MetricLogger:
         self._step_last = step
         self._f.write(json.dumps(rec) + "\n")
         self._f.flush()
+        for k, v in rec.items():
+            if k != "step":
+                self._tb.add_scalar(f"train/{k}", v, step)
+        self._tb.flush()
         print(f"[step {step}] " + " ".join(
             f"{k}={v:.5g}" for k, v in rec.items() if k != "step"),
             flush=True)
 
     def close(self):
         self._f.close()
+        self._tb.close()
 
 
 def check_finite(step: int, loss) -> None:
