@@ -67,8 +67,11 @@ class HumanObjectField(nn.Module):
     mweight_volume_size: int = 32
     ignore_non_rigid_motions: bool = False
     # rematerialize the per-sample MLP activations in backward; essential
-    # for production batch sizes (1M+ samples/step)
-    remat: bool = True
+    # for production batch sizes (1M+ samples/step). True/'all' = every
+    # MLP; 'heavy' = only the 8x256 canonical MLP (4.3 GB bf16 residuals
+    # at 8 patches) while the 6x128 non-rigid MLPs stay dense;
+    # False/'none' = dense everywhere.
+    remat: "bool | str" = True
     # when set, evaluate the per-sample MLPs in sequential chunks of this
     # many samples via nn.scan — bounds live activation memory to one
     # chunk (the TPU-native form of the reference's `netchunk`,
@@ -93,8 +96,11 @@ class HumanObjectField(nn.Module):
             volume_size=self.mweight_volume_size,
             total_bones=self.total_bones, compute_dtype=cdt,
             name="mweight_vol_decoder")
-        nr_cls = nn.remat(NonRigidMLP) if self.remat else NonRigidMLP
-        cnl_cls = nn.remat(CanonicalMLP) if self.remat else CanonicalMLP
+        from hosnerf_tpu.models.layers import resolve_remat
+        mode = resolve_remat(self.remat)
+        nr_cls = nn.remat(NonRigidMLP) if mode == "all" else NonRigidMLP
+        cnl_cls = (nn.remat(CanonicalMLP) if mode in ("all", "heavy")
+                   else CanonicalMLP)
         self.non_rigid_mlp = nr_cls(
             mlp_depth=self.nr_mlp_depth, mlp_width=self.nr_mlp_width,
             skips=self.nr_skips, compute_dtype=cdt, name="non_rigid_mlp")

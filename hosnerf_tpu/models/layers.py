@@ -10,6 +10,20 @@ import numpy as np
 from flax import linen as nn
 
 
+def resolve_remat(spec) -> str:
+    """Remat config spec -> 'none' | 'heavy' | 'all'. Accepts bools
+    (False->'none', True->'all') or the strings. 'heavy' remats only the
+    memory-dominant trunk of a model (scene: the 8x1024 nerf MLP; human:
+    the 8x256 canonical MLP) — the smaller MLPs' residuals fit HBM even
+    at the 8-patch batch, so they skip remat's ~33% re-forward FLOPs."""
+    if isinstance(spec, str):
+        key = spec.lower()
+        if key in ("none", "heavy", "all"):
+            return key
+        raise ValueError(f"unknown remat mode {spec!r}")
+    return "all" if spec else "none"
+
+
 def resolve_compute_dtype(spec):
     """Config-surface dtype spec -> jnp dtype or None. Accepts None,
     'bf16'/'bfloat16', 'f32'/'float32', or an actual dtype."""

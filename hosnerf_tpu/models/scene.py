@@ -25,7 +25,8 @@ from flax import linen as nn
 
 from hosnerf_tpu.core import geopoly, rays as ray_math, render, stepfun
 from hosnerf_tpu.models.layers import (TorchLinear, kaiming_uniform,
-                                       resolve_compute_dtype)
+                                       resolve_compute_dtype,
+                                       resolve_remat)
 
 
 class MipMLP(nn.Module):
@@ -184,8 +185,13 @@ class SceneField(nn.Module):
     nerf_netdepth: int = 8
     nerf_netwidth: int = 1024
     # rematerialize MLP activations in backward (1 GB/layer at production
-    # batch sizes otherwise); `randomized` (idx 4) is a static python bool
-    remat: bool = True
+    # batch sizes otherwise); `randomized` (idx 4) is a static python bool.
+    # True/'all' = every MLP; 'heavy' = ONLY the 8x1024 nerf trunk (the
+    # HBM hog — 4.3 GB bf16 residuals at the 8-patch batch) while the
+    # 4x256 prop trunks stay dense (~2 GB), dodging remat's ~33%
+    # re-forward FLOPs where memory doesn't demand it; False/'none' =
+    # dense everywhere.
+    remat: "bool | str" = True
     # rays per MLP slab — the scene-side analog of the reference's
     # netchunk/chunk_bkg (3rd.../configs/default.yaml:154, model.py:917):
     # bounds activation memory for 32+ patch stage-3 batches on one chip.
@@ -198,17 +204,19 @@ class SceneField(nn.Module):
     compute_dtype: Optional[str] = None
 
     def setup(self):
-        mlp_cls = (nn.remat(MipMLP, static_argnums=(4,)) if self.remat
-                   else MipMLP)
+        mode = resolve_remat(self.remat)
+        remat_cls = nn.remat(MipMLP, static_argnums=(4,))
+        prop_cls = remat_cls if mode == "all" else MipMLP
+        nerf_cls = remat_cls if mode in ("all", "heavy") else MipMLP
         cdt = resolve_compute_dtype(self.compute_dtype)
         mlps = []
         for i in range(self.num_levels - 1):
-            mlps.append(mlp_cls(
+            mlps.append(prop_cls(
                 num_states=self.num_states, netdepth=self.prop_netdepth,
                 netwidth=self.prop_netwidth, disable_rgb=True,
                 compute_dtype=cdt, lifted_inputs=True,
                 name=f"prop_mlp_{i}"))
-        mlps.append(mlp_cls(
+        mlps.append(nerf_cls(
             num_states=self.num_states, netdepth=self.nerf_netdepth,
             netwidth=self.nerf_netwidth, compute_dtype=cdt,
             lifted_inputs=True, name="nerf_mlp"))

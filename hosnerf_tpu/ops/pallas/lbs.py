@@ -110,6 +110,7 @@ tap-support-exact, so skipped pairs have exactly-zero grads).
 from __future__ import annotations
 
 import functools
+import os as _os
 from typing import Tuple
 
 import jax
@@ -580,11 +581,17 @@ inverse_core.defvjp(lambda p, r, t, v, prec: _inverse_fwd(p, r, t, v, prec),
 # gradients. Affine coefficients come from an SMEM scalar table instead
 # of per-pair HBM tables (no gather, no extra traffic).
 
-TILE_PG = 256     # samples per pair tile (density/overhead sweet spot:
-                  # measured 48% of (tile,bone) pairs dead at 256 after
-                  # the spatial sort vs 22% at 1024)
+TILE_PG = int(_os.environ.get("HOSNERF_TILE_PG", 128))
+                  # samples per pair tile. Production-shaped sweep on v5e
+                  # (262k samples, tools/bench_lbs_pg.py): fwd+bwd
+                  # 57.4 ms @128 (0.52 pair density) vs 61.3 @256 (0.59)
+                  # vs 82.8 dense — finer tiles kill more pairs and the
+                  # extra per-step overhead stays amortized. Env override
+                  # for sweeps.
 SORT_GROUP = 8    # consecutive samples sharing one sort key
-SORT_CELLS = 16   # spatial cells per axis for the Morton keys
+SORT_CELLS = int(_os.environ.get("HOSNERF_SORT_CELLS", 16))
+                  # spatial cells per axis for the Morton keys (measured
+                  # insensitive: 57.25 ms @32 vs 57.38 @16)
 
 
 def _morton3(q):
@@ -664,6 +671,29 @@ def _build_pairs(pts_s, rgp, tgp, B: int, BPD: int, G: int):
     return pair_tile, pair_bone, n_pairs
 
 
+def _pack_bones(bones, NGB: int):
+    """Byte-pack bone indices 4-per-int32 for the SMEM prefetch: at the
+    8-patch batch the unpacked [cap, NGB] s32 table alone is 896 KB
+    against the 1 MB SMEM budget (measured compile OOM); packed it is
+    224 KB. bones [cap, NGB] with values < 256 -> [cap, ceil(NGB/4)]."""
+    cap = bones.shape[0]
+    nw = -(-NGB // 4)
+    pad = nw * 4 - NGB
+    if pad:
+        bones = jnp.concatenate(
+            [bones, jnp.zeros((cap, pad), bones.dtype)], axis=1)
+    b = bones.reshape(cap, nw, 4).astype(jnp.int32)
+    shifts = jnp.asarray([0, 8, 16, 24], jnp.int32)
+    return jnp.sum(b << shifts[None, None, :], axis=2).reshape(-1)
+
+
+def _unpack_bone(pbone_ref, i, j: int, NGB: int):
+    """Read bone j of pair i from the packed SMEM table (kernel side)."""
+    nw = -(-NGB // 4)
+    word = pbone_ref[i * nw + j // 4]
+    return (word >> (8 * (j % 4))) & 0xFF
+
+
 def _pg_coef(rgp, tgp):
     """[BPD, 12] SMEM scalar table: coef[b, 4c+k] = affine coefficient of
     grid coord c wrt p_k (k<3), coef[b, 4c+3] = translation of coord c."""
@@ -714,7 +744,7 @@ def _pg_fwd_kernel(ptile_ref, pbone_ref, coef_ref, pts_ref, volq_ref,
     xq2, yq2 = _xyq_iotas_f(T, G)
     dt = jnp.bfloat16 if prec == "bf16" else jnp.float32
 
-    bs = [pbone_ref[i * NGB + j] for j in range(NGB)]
+    bs = [_unpack_bone(pbone_ref, i, j, NGB) for j in range(NGB)]
     fxseg, fyseg, fzseg, _, _, _ = _pg_segs(coef_ref, bs, x, y, z, G)
     zcs = []
     for j in range(NGB):
@@ -771,7 +801,7 @@ def _pg_bwd_kernel(ptile_ref, pbone_ref, coef_ref, pts_ref, volq_ref,
     dims_t = (((0,), (0,)), ((), ()))
     p4 = jnp.concatenate([x, y, z, jnp.ones_like(x)], axis=1)  # [T, 4]
 
-    bs = [pbone_ref[i * NGB + j] for j in range(NGB)]
+    bs = [_unpack_bone(pbone_ref, i, j, NGB) for j in range(NGB)]
     fxseg, fyseg, fzseg, rx, ry, rz = _pg_segs(coef_ref, bs, x, y, z, G)
     zcs, dfxrs, dfyrs = [], [], []
     gw4 = gx * fxseg + gy * fyseg + gz * fzseg + gw_sum
@@ -883,7 +913,7 @@ def _pg_fwd(pts_g, rg, tg, vol_qz, prec):
         interpret=_interpret(),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 2**20),
-    )(pair_tile, pair_bone.reshape(-1), coef, pts_s, vol)
+    )(pair_tile, _pack_bones(pair_bone, NGB), coef, pts_s, vol)
     acc = jnp.zeros_like(acc_s).at[perm].set(acc_s)[:n]
     return acc, (pts_s, rg, tg, vol_qz, pair_tile, pair_bone, n_pairs,
                  perm, n)
@@ -939,7 +969,8 @@ def _pg_bwd(prec, res, gacc):
         interpret=_interpret(),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 2**20),
-    )(pair_tile, pair_bone.reshape(-1), coef, pts_s, vol, kseg, gacc_p)
+    )(pair_tile, _pack_bones(pair_bone, NGB), coef, pts_s, vol, kseg,
+      gacc_p)
 
     dpts = jnp.zeros_like(dpts_s).at[perm].set(dpts_s)[:n]
     # dr: mask tail (blocks past n_pairs are never written -> garbage),

@@ -51,8 +51,9 @@ class Stage1Config:
     # rays per scene-MLP slab (netchunk analog; None = dense)
     mlp_chunk: "int | None" = None
     # rematerialize MLP activations in backward (needed only for large
-    # batches; ~1.45x step time at the 4096-ray production batch)
-    remat: bool = False
+    # batches; ~1.45x step time at the 4096-ray production batch).
+    # False/'none' | 'heavy' (only the 8x1024 nerf trunk) | True/'all'
+    remat: "bool | str" = False
     # MLP-trunk computation dtype: 'bf16' runs the big matmuls at the
     # MXU's native rate (params/heads/compositing stay f32), None = f32
     compute_dtype: "str | None" = None

@@ -63,8 +63,10 @@ class Stage2Config:
     # LBS implementation: 'auto' = fused Pallas kernels on TPU
     lbs_impl: str = "auto"
     # rematerialize MLP activations in backward (needed only for large
-    # batches; measured ~1.2-1.5x step overhead at the 2-patch batch)
-    remat: bool = False
+    # batches; measured ~1.2-1.5x step overhead at the 2-patch batch).
+    # False/'none' | 'heavy' (only the memory-dominant trunks: scene
+    # nerf 8x1024, human canonical 8x256) | True/'all'
+    remat: "bool | str" = False
     # MLP-trunk computation dtype: 'bf16' or None=f32 (params, output
     # heads, LBS and compositing stay f32 either way)
     compute_dtype: "str | None" = None

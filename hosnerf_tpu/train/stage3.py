@@ -62,8 +62,10 @@ class Stage3Config:
     # LBS implementation: 'auto' = fused Pallas kernels on TPU
     lbs_impl: str = "auto"
     # rematerialize MLP activations in backward (needed only for large
-    # batches; measured ~1.2-1.5x step overhead at the 2-patch batch)
-    remat: bool = False
+    # batches; measured ~1.2-1.5x step overhead at the 2-patch batch).
+    # False/'none' | 'heavy' (only the memory-dominant trunks: scene
+    # nerf 8x1024, human canonical 8x256) | True/'all'
+    remat: "bool | str" = False
     num_prop_samples: int = 64
     num_nerf_samples: int = 32
     nerf_netwidth: int = 1024

@@ -59,6 +59,33 @@ def test_forward_shapes_and_history(tiny_setup):
     assert bool(jnp.all(jnp.isfinite(renderings[-1]["rgb"])))
 
 
+@pytest.mark.parametrize("mode", ["heavy", True])
+def test_remat_modes_match_dense(tiny_setup, mode):
+    """'heavy' (nerf-trunk-only) and 'all' remat are pure memory/schedule
+    knobs: values and grads must equal the dense ('none') model."""
+    cfg, batch, params, _, model = tiny_setup
+
+    def loss_of(m):
+        def f(p):
+            rend, _ = m.apply({"params": p}, batch, 0.5, False,
+                              jnp.int32(0), cfg.near, cfg.far)
+            return jnp.mean((rend[-1]["rgb"] - batch["target"]) ** 2)
+        return f
+
+    base = scene.SceneField(remat=False, **{k: getattr(model, k) for k in
+           ("nerf_netwidth", "prop_netwidth", "num_prop_samples",
+            "num_nerf_samples", "num_states")})
+    other = scene.SceneField(remat=mode, **{k: getattr(model, k) for k in
+            ("nerf_netwidth", "prop_netwidth", "num_prop_samples",
+             "num_nerf_samples", "num_states")})
+    l0, g0 = jax.value_and_grad(loss_of(base))(params)
+    l1, g1 = jax.value_and_grad(loss_of(other))(params)
+    assert abs(float(l0 - l1)) < 1e-6
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5, rtol=1e-4)
+
+
 def test_state_embeddings_change_output(tiny_setup):
     cfg, batch, params, _, model = tiny_setup
     cfg2 = stage1.Stage1Config(**{**cfg.__dict__, "num_states": 3})

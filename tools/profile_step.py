@@ -38,6 +38,9 @@ from hosnerf_tpu.train import stage3
 from hosnerf_tpu.utils.benchtools import force_value
 
 N_PATCHES = int(sys.argv[1]) if len(sys.argv) > 1 else 2
+# 'auto' (pair-grid pallas on TPU) | 'pallas_dense' | 'xla' | 'gather'
+LBS_IMPL = os.environ.get("HOSNERF_LBS_IMPL", "auto")
+# 'remat' (default True at >=8 patches) | env override 0/1
 WARMUP = 2
 ITERS = 10
 
@@ -57,7 +60,11 @@ def timed_chain(name, step, make_args, iters=ITERS, warmup=WARMUP):
 
 
 def main():
-    cfg = stage3.Stage3Config(n_patches=N_PATCHES, compute_dtype="bf16")
+    remat = bool(int(os.environ.get("HOSNERF_REMAT",
+                                    "1" if N_PATCHES >= 8 else "0")))
+    cfg = stage3.Stage3Config(n_patches=N_PATCHES, compute_dtype="bf16",
+                              lbs_impl=LBS_IMPL, remat=remat)
+    print(f"lbs_impl={LBS_IMPL} remat={remat}", flush=True)
     batch = {k: jnp.asarray(v) for k, v in
              synthetic.composed_batch(N_PATCHES, 32, grid_size=32).items()}
     params, opt_state, scene_model, human_model, opt = stage3.init_state(
