@@ -60,8 +60,8 @@ def timed_chain(name, step, make_args, iters=ITERS, warmup=WARMUP):
 
 
 def main():
-    remat = bool(int(os.environ.get("HOSNERF_REMAT",
-                                    "1" if N_PATCHES >= 8 else "0")))
+    raw = os.environ.get("HOSNERF_REMAT", "1" if N_PATCHES >= 8 else "0")
+    remat = raw if raw in ("none", "heavy", "all") else bool(int(raw))
     cfg = stage3.Stage3Config(n_patches=N_PATCHES, compute_dtype="bf16",
                               lbs_impl=LBS_IMPL, remat=remat)
     print(f"lbs_impl={LBS_IMPL} remat={remat}", flush=True)

@@ -2,7 +2,7 @@
 optimizer, and the optimizer update alone — to localize the residual
 between the model fwd+bwd and the full train step.
 
-Usage: python tools/profile_tail.py
+Usage: python tools/profile_tail.py [n_patches]
 """
 
 import os
@@ -48,9 +48,15 @@ def chain(name, fn):
 
 
 def main():
-    cfg = stage3.Stage3Config(n_patches=2, compute_dtype="bf16")
+    n_patches = int(sys.argv[1]) if len(sys.argv) > 1 else 2
+    remat = os.environ.get("HOSNERF_REMAT",
+                           "heavy" if n_patches >= 8 else "none")
+    remat = remat if remat in ("none", "heavy", "all") else bool(int(remat))
+    print(f"n_patches={n_patches} remat={remat}", flush=True)
+    cfg = stage3.Stage3Config(n_patches=n_patches, compute_dtype="bf16",
+                              remat=remat)
     batch = {k: jnp.asarray(v) for k, v in
-             synthetic.composed_batch(2, 32, grid_size=32).items()}
+             synthetic.composed_batch(n_patches, 32, grid_size=32).items()}
     params, opt_state, scene_model, human_model, opt = stage3.init_state(
         cfg, jax.random.key(0), batch)
     loss_fn = stage3.make_loss_fn(cfg, scene_model, human_model, None)
