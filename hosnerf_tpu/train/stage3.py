@@ -66,6 +66,13 @@ class Stage3Config:
     # False/'none' | 'heavy' (only the memory-dominant trunks: scene
     # nerf 8x1024, human canonical 8x256) | True/'all'
     remat: "bool | str" = False
+    # per-model overrides (None = inherit `remat`). The two trunks have
+    # very different recompute prices at the same 4.3 GB bf16 residual
+    # footprint: re-forwarding the scene nerf costs ~4.4 TFLOP at the
+    # 8-patch batch vs ~1.1 TFLOP for the human canonical MLP — when HBM
+    # allows keeping only ONE dense, keep the nerf dense.
+    scene_remat: "bool | str | None" = None
+    human_remat: "bool | str | None" = None
     num_prop_samples: int = 64
     num_nerf_samples: int = 32
     nerf_netwidth: int = 1024
@@ -82,13 +89,15 @@ def make_models(cfg: Stage3Config):
         nr_mlp_width=cfg.nr_mlp_width,
         mweight_volume_size=cfg.mweight_volume_size,
         mlp_chunk=cfg.mlp_chunk, lbs_impl=cfg.lbs_impl,
-        remat=cfg.remat, compute_dtype=cfg.compute_dtype)
+        remat=(cfg.remat if cfg.human_remat is None else cfg.human_remat),
+        compute_dtype=cfg.compute_dtype)
     scene = scene_mod.SceneField(
         num_states=cfg.num_states, num_prop_samples=cfg.num_prop_samples,
         num_nerf_samples=cfg.num_nerf_samples,
         nerf_netwidth=cfg.nerf_netwidth, prop_netwidth=cfg.prop_netwidth,
         opaque_background=cfg.opaque_background,
-        mlp_chunk=cfg.scene_mlp_chunk, remat=cfg.remat,
+        mlp_chunk=cfg.scene_mlp_chunk,
+        remat=(cfg.remat if cfg.scene_remat is None else cfg.scene_remat),
         compute_dtype=cfg.compute_dtype)
     return scene, human
 

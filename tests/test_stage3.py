@@ -123,3 +123,16 @@ def test_stage3_optimizer_group_labels(setup):
         updates["human"]["pose_decoder"])[0]
     ratio = abs(float(up_scene.ravel()[0]) / float(up_pose.ravel()[0]))
     assert 5.0 < ratio < 20.0, ratio
+
+
+def test_per_model_remat_overrides():
+    """scene_remat/human_remat override the shared `remat` knob; None
+    inherits it. The 8-patch bench relies on the split being honored."""
+    cfg = stage3.Stage3Config(**TINY, remat="heavy", scene_remat="none")
+    scene, human = stage3.make_models(cfg)
+    assert scene.remat == "none"
+    assert human.remat == "heavy"
+    cfg2 = stage3.Stage3Config(**TINY, remat="all", human_remat="none")
+    scene2, human2 = stage3.make_models(cfg2)
+    assert scene2.remat == "all"
+    assert human2.remat == "none"
