@@ -189,19 +189,23 @@ def main():
     # chained protocol, fewer iters
     big_rays = 8 * 32 * 32
     big_sec = None
-    # free the 2-patch state first: 8 patches x 32 nerf samples x 1024
-    # width without remat stores ~8 GB of trunk activations for backward
-    # -> HBM OOM on v5e. Outside the try so a cleanup failure surfaces
-    # distinctly; guarded for non-array leaves (e.g. scalar opt_state).
+    # free the 2-patch state first: the 8-patch step peaks ~13.7 GB of
+    # the 16 GB HBM (tools/memcheck_8patch.py), so stale buffers from the
+    # primary point must go. Outside the try so a cleanup failure
+    # surfaces distinctly; guarded for non-array leaves.
     for leaf in jax.tree.leaves((params, opt_state, batch)):
         if hasattr(leaf, "delete"):
             leaf.delete()
     try:
-        # 'heavy' remat: only the nerf + canonical trunks rematerialize
-        # (their residuals alone exceed HBM at 8 patches); the small
-        # prop/non-rigid MLPs stay dense and skip the re-forward FLOPs.
+        # measured-best 8-patch split (tools/time_step.py sweep, v5e,
+        # 2026-08-19): scene DENSE + human canonical remat. XLA's memory
+        # analysis shows even fully dense fits (~13.7 GB peak of 16), but
+        # explicitly freeing the canonical trunk's 4.3 GB residuals buys
+        # back scheduling headroom at a ~1.1 TFLOP re-forward (vs 4.4 for
+        # the nerf trunk) — 606 ms vs 629 dense vs 641 both-heavy.
         cfg8 = stage3.Stage3Config(n_patches=8, compute_dtype="bf16",
-                                   remat="heavy")
+                                   remat="none", scene_remat="none",
+                                   human_remat="heavy")
         batch8 = {k: jnp.asarray(v) for k, v in
                   synthetic.composed_batch(8, 32, grid_size=32).items()}
         p8, o8, sm8, hm8, opt8 = stage3.init_state(

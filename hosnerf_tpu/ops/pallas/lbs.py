@@ -89,22 +89,20 @@ Measured dead ends (v5e, kept for the record):
   minutes. Groups therefore run under `fori_loop` (same measured speed,
   ~7x smaller program).
 
-Identified next step (not yet built — the cond-free fine-grained skip):
-a scalar-prefetch compacted PAIR GRID. Host/XLA side: spatial-cell-sort
-the samples (the existing permutation machinery), compute the in-support
-predicate per (tile, bone) (one [tiles, B] reduce over per-tile coord
-ranges — cheap), compact the surviving pairs into a STATIC-length list
-(padded with dummy pairs aimed at a zeroed scratch tile), sorted by tile
-so same-tile pairs are consecutive. Kernel side: run the Pallas grid
-over the pair list with PrefetchScalarGridSpec — each grid step loads
-(tile_idx, bone_idx) from prefetched scalars and does IDENTICAL work, so
-Mosaic pipelining is untouched; the skip comes from the grid simply
-being ~50% shorter (48% of pairs dead at TILE=256 after the sort), and
-consecutive same-tile steps accumulate into the revisited output block.
-Expected from today's numbers: inverse-LBS fwd+bwd 82 -> ~50 ms
-including the ~10 ms sort, i.e. stage-3 step 183 -> ~150 ms. The
-backward kernels take the same pair list (the predicate is
-tap-support-exact, so skipped pairs have exactly-zero grads).
+SHIPPED (round 3) — the cond-free fine-grained skip: a scalar-prefetch
+compacted PAIR GRID (`pairgrid_inverse`, below at the "pair-grid inverse
+kernel" section). Host/XLA side: Morton-sort the samples, compute the
+tap-support-exact predicate per (tile, bone-quad), compact surviving
+pairs into a static-capacity list sorted by tile (dummy pairs aim at a
+zeroed scratch tile). Kernel side: the Pallas grid runs over the pair
+list with a DYNAMIC grid length and prefetched (tile, bones) scalars —
+every live step does identical work, so Mosaic pipelining is untouched;
+the win is the grid simply being ~half as long. The backward kernel
+takes the same pair list (skipped pairs have exactly-zero grads).
+Measured (v5e, production-shaped 262k samples): inverse-LBS fwd+bwd
+82.8 -> 57.4 ms at TILE_PG=128 (0.52 pair density), stage-3 step
+~183 -> ~149 ms. This is the production inverse path; the dense
+`inverse_core` remains as the fallback and parity oracle.
 """
 
 from __future__ import annotations
