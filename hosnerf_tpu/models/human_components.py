@@ -20,6 +20,7 @@ ConvTranspose3d(k=4, s=2, p=1) — with kernels stored DHWIO.
 from __future__ import annotations
 
 import math
+import os
 from typing import Sequence
 
 import jax
@@ -34,6 +35,19 @@ from hosnerf_tpu.models.layers import (TorchLinear, small_uniform,
 
 RELU_GAIN = math.sqrt(2.0)
 LEAKY02_GAIN = math.sqrt(2.0 / (1.0 + 0.2**2))
+
+
+def _deconv_impl() -> str:
+    """Transposed-conv execution strategy. 'conv' = XLA lhs-dilated conv
+    (MXU-native; the TPU production path — the phase form's 64 shifted
+    slab views per layer are pure HBM/pad-adjoint overhead there);
+    'phase' = phase-decomposed matmuls (the CPU path: XLA-CPU executes
+    lhs-dilated 3D convs with a naive loop, 18.6 s backward at decoder
+    sizes). Env HOSNERF_DECONV_IMPL ∈ {auto, conv, phase} overrides."""
+    impl = os.environ.get("HOSNERF_DECONV_IMPL", "auto")
+    if impl == "auto":
+        return "conv" if jax.default_backend() == "tpu" else "phase"
+    return impl
 
 
 class CanonicalMLP(nn.Module):
@@ -195,6 +209,33 @@ class ConvTranspose3dTorch(nn.Module):
             (k, k, k, cin, self.features))
         bias = self.param("bias", nn.initializers.zeros_init(),
                           (self.features,))
+        if _deconv_impl() == "conv":
+            # Native lhs-dilated conv — the TPU production path. The
+            # stored kernel already indexes taps in conv orientation
+            # (the phase map's t = 2a + p), so NO spatial flip:
+            #   y[2i]   = K[0] x[i-1] + K[2] x[i]
+            #   y[2i+1] = K[1] x[i]   + K[3] x[i+1]
+            # per dim == conv(dilate(x, 2), K, pad k-1-p = 2). Measured
+            # on v5e (tools/bench_deconv.py, decoder fwd+bwd bf16):
+            # 4.58 ms vs 4.88 phase — both launch-bound at these tiny
+            # volumes; conv wins slightly and runs ~60 fewer ops.
+            # Parity vs the phase form: tests/test_human_model.py.
+            lhs, rhs = x, kernel
+            kw = {}
+            if self.compute_dtype is not None:
+                # bf16 in/out: the MXU accumulates f32 internally and
+                # rounds only at the output write; preferred_element_type
+                # =f32 would make the conv's VJP mix bf16 operands with
+                # f32 cotangents (rejected by lax). Upcast after.
+                lhs = lhs.astype(self.compute_dtype)
+                rhs = rhs.astype(self.compute_dtype)
+            else:
+                kw["precision"] = jax.lax.Precision.HIGHEST
+            y = jax.lax.conv_general_dilated(
+                lhs, rhs, window_strides=(1, 1, 1),
+                padding=[(2, 2)] * 3, lhs_dilation=(2, 2, 2),
+                dimension_numbers=("NDHWC", "DHWIO", "NDHWC"), **kw)
+            return y.astype(jnp.float32) + bias
         n, d, h, w = x.shape[0], x.shape[1], x.shape[2], x.shape[3]
         xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (1, 1), (0, 0)))
 

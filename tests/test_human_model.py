@@ -74,6 +74,32 @@ def test_conv_transpose_matches_torch(rng_np):
     np.testing.assert_allclose(got, want, atol=1e-5)
 
 
+def test_conv_transpose_conv_impl_matches_phase(rng_np, monkeypatch):
+    """The TPU production path (native lhs-dilated conv, no spatial flip)
+    must match the phase-decomposed matmul form — values and grads."""
+    x = jnp.asarray(rng_np.normal(size=(1, 4, 4, 4, 6)).astype(np.float32))
+    mod = ConvTranspose3dTorch(5)
+    params = mod.init(jax.random.key(0), x)["params"]
+
+    def loss(p, impl):
+        monkeypatch.setenv("HOSNERF_DECONV_IMPL", impl)
+        return jnp.sum(jnp.sin(mod.apply({"params": p}, x)))
+
+    monkeypatch.setenv("HOSNERF_DECONV_IMPL", "phase")
+    y_phase = mod.apply({"params": params}, x)
+    g_phase = jax.grad(lambda p: loss(p, "phase"))(params)
+    monkeypatch.setenv("HOSNERF_DECONV_IMPL", "conv")
+    y_conv = mod.apply({"params": params}, x)
+    g_conv = jax.grad(lambda p: loss(p, "conv"))(params)
+
+    np.testing.assert_allclose(np.asarray(y_conv), np.asarray(y_phase),
+                               atol=2e-5)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-4),
+        g_conv, g_phase)
+
+
 def test_mweight_decoder_shapes_and_softmax(rng_np):
     dec = MotionWeightVolumeDecoder(volume_size=16, total_bones=26)
     priors = jnp.asarray(
