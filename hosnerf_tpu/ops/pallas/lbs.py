@@ -583,9 +583,13 @@ TILE_PG = int(_os.environ.get("HOSNERF_TILE_PG", 128))
                   # samples per pair tile. Production-shaped sweep on v5e
                   # (262k samples, tools/bench_lbs_pg.py): fwd+bwd
                   # 57.4 ms @128 (0.52 pair density) vs 61.3 @256 (0.59)
-                  # vs 82.8 dense — finer tiles kill more pairs and the
-                  # extra per-step overhead stays amortized. Env override
-                  # for sweeps.
+                  # vs 65.9 @64 (density only 0.47 — Morton locality, not
+                  # tile granularity, limits the kill rate, and 64-row
+                  # matmuls waste the MXU) vs 82.8 dense. Env override
+                  # for sweeps. With gather-unsorts (inv_perm): fwd-only
+                  # 20.4 ms (the eval/render path), fwd+bwd unchanged
+                  # (the hand-written bwd swaps a scatter for a gather
+                  # symmetrically).
 SORT_GROUP = 8    # consecutive samples sharing one sort key
 SORT_CELLS = int(_os.environ.get("HOSNERF_SORT_CELLS", 16))
                   # spatial cells per axis for the Morton keys (measured
@@ -606,8 +610,14 @@ def _morton3(q):
 
 
 def _group_sort_perm(pts_p):
-    """Permutation sorting SORT_GROUP-sample groups by centroid Morton
-    cell. pts_p [n_pad, 3] (n_pad multiple of SORT_GROUP)."""
+    """(perm, inv_perm) sorting SORT_GROUP-sample groups by centroid
+    Morton cell. pts_p [n_pad, 3] (n_pad multiple of SORT_GROUP).
+
+    The inverse is built at GROUP level (one [n_groups] int32 scatter,
+    ~n/8 elements) so the unsorts downstream can be row GATHERS by
+    inv_perm instead of XLA scatters over [n, 4] floats — scatters
+    don't get the sorted/unique fast path and measured ~2x a gather at
+    these shapes."""
     n_pad = pts_p.shape[0]
     g = pts_p.reshape(n_pad // SORT_GROUP, SORT_GROUP, 3)
     ctr = jnp.mean(g, axis=1)
@@ -616,8 +626,13 @@ def _group_sort_perm(pts_p):
     qf = (ctr - lo) / jnp.maximum(hi - lo, 1e-9) * SORT_CELLS
     q = jnp.clip(qf.astype(jnp.int32), 0, SORT_CELLS - 1)
     gperm = jnp.argsort(_morton3(q))
-    return (gperm[:, None] * SORT_GROUP
-            + jnp.arange(SORT_GROUP)[None, :]).reshape(-1)
+    n_groups = gperm.shape[0]
+    inv_gperm = jnp.zeros((n_groups,), gperm.dtype).at[gperm].set(
+        jnp.arange(n_groups, dtype=gperm.dtype), unique_indices=True)
+    lane = jnp.arange(SORT_GROUP)[None, :]
+    perm = (gperm[:, None] * SORT_GROUP + lane).reshape(-1)
+    inv_perm = (inv_gperm[:, None] * SORT_GROUP + lane).reshape(-1)
+    return perm, inv_perm
 
 
 def _build_pairs(pts_s, rgp, tgp, B: int, BPD: int, G: int):
@@ -882,7 +897,7 @@ def _pg_fwd(pts_g, rg, tg, vol_qz, prec):
     assert QQ == G * G, "inverse_core_pg needs cubic volumes"
     NGB, BPD = _pg_pad_shapes(B, G)
     pts_p, n = _pad_rows(pts_g.astype(jnp.float32), TILE_PG)
-    perm = _group_sort_perm(pts_p)
+    perm, inv_perm = _group_sort_perm(pts_p)
     pts_s = pts_p[perm]
     rgp = jnp.pad(rg.astype(jnp.float32), ((0, BPD - B), (0, 0)))
     tgp = jnp.pad(tg.astype(jnp.float32), ((0, BPD - B), (0, 0)))
@@ -912,13 +927,14 @@ def _pg_fwd(pts_g, rg, tg, vol_qz, prec):
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 2**20),
     )(pair_tile, _pack_bones(pair_bone, NGB), coef, pts_s, vol)
-    acc = jnp.zeros_like(acc_s).at[perm].set(acc_s)[:n]
+    acc = acc_s[inv_perm][:n]
     return acc, (pts_s, rg, tg, vol_qz, pair_tile, pair_bone, n_pairs,
-                 perm, n)
+                 perm, inv_perm, n)
 
 
 def _pg_bwd(prec, res, gacc):
-    pts_s, rg, tg, vol_qz, pair_tile, pair_bone, n_pairs, perm, n = res
+    (pts_s, rg, tg, vol_qz, pair_tile, pair_bone, n_pairs, perm,
+     inv_perm, n) = res
     B, QQ, G = vol_qz.shape
     NGB, BPD = _pg_pad_shapes(B, G)
     n_pad = pts_s.shape[0]
@@ -970,7 +986,7 @@ def _pg_bwd(prec, res, gacc):
     )(pair_tile, _pack_bones(pair_bone, NGB), coef, pts_s, vol, kseg,
       gacc_p)
 
-    dpts = jnp.zeros_like(dpts_s).at[perm].set(dpts_s)[:n]
+    dpts = dpts_s[inv_perm][:n]
     # dr: mask tail (blocks past n_pairs are never written -> garbage),
     # pick each quad-lane's segment start, segment-sum by bone
     valid = (jnp.arange(cap) < n_pairs)[:, None, None, None]

@@ -181,7 +181,7 @@ def test_pairgrid_actually_compacts(data_pg):
     rgp = jnp.pad(rg, ((0, BPD - Bb), (0, 0)))
     tgp = jnp.pad(tg, ((0, BPD - Bb), (0, 0)))
     pts_p, _ = plbs._pad_rows(pts, plbs.TILE_PG)
-    perm = plbs._group_sort_perm(pts_p)
+    perm, _ = plbs._group_sort_perm(pts_p)
     pair_tile, pair_bone, n_pairs = plbs._build_pairs(
         pts_p[perm], rgp, tgp, Bb, BPD, Gg)
     cap = pair_tile.shape[0]

@@ -81,7 +81,7 @@ def main():
     rgp = jnp.pad(rg, ((0, BPD - 26), (0, 0)))
     tgp = jnp.pad(tg, ((0, BPD - 26), (0, 0)))
     pts_p, _ = plbs._pad_rows(pts, plbs.TILE_PG)
-    perm = plbs._group_sort_perm(pts_p)
+    perm, _ = plbs._group_sort_perm(pts_p)
     _, _, n_pairs = plbs._build_pairs(pts_p[perm], rgp, tgp, 26, BPD, G)
     cap = (pts_p.shape[0] // plbs.TILE_PG) * (BPD // NGB)
     print(f"pair density: {int(n_pairs)}/{cap} = "
