@@ -594,6 +594,26 @@ SORT_GROUP = 8    # consecutive samples sharing one sort key
 SORT_CELLS = int(_os.environ.get("HOSNERF_SORT_CELLS", 16))
                   # spatial cells per axis for the Morton keys (measured
                   # insensitive: 57.25 ms @32 vs 57.38 @16)
+PG_SORT = _os.environ.get("HOSNERF_PG_SORT", "sig")
+                  # pair-grid sample ordering: 'sig' (round 4 default)
+                  # sorts sample groups by their OR'd per-sample
+                  # tap-support bone signature — tiles become support-
+                  # homogeneous, and the tile-alive predicate is the OR
+                  # of EXACT per-sample support tests rather than AABB
+                  # interval arithmetic. Measured density on production-
+                  # shaped batches (tools/pg_density_study.py): 0.522
+                  # (morton+AABB) -> 0.456 (morton+exact) -> 0.395
+                  # (sig+exact); true (sample,bone) density 0.237.
+                  # 'morton' keeps the round-3 spatial-cell ordering.
+PG_EPS = 1e-5     # support-predicate widening: the dense kernel's
+                  # floor-based _dhat assigns a +-1 tap derivative at
+                  # EXACTLY f == -1 / f == G where the hat value is 0;
+                  # widening keeps such boundary pairs alive so skipped
+                  # pairs have exactly-zero values AND grads (ADVICE r3).
+
+assert TILE_PG % 8 == 0 and TILE_PG % SORT_GROUP == 0, (
+    "HOSNERF_TILE_PG must be a multiple of 8 and of SORT_GROUP "
+    f"(got {TILE_PG})")  # _group_sort_perm reshape + Pallas block shapes
 
 
 def _morton3(q):
@@ -635,19 +655,47 @@ def _group_sort_perm(pts_p):
     return perm, inv_perm
 
 
+def _sample_support(pts, rgp, tgp, G: int):
+    """[n, BPD] bool: EXACT per-sample tap support. hat taps of bone b at
+    sample p are nonzero iff every grid coordinate f = Rg_b p + Tg_b lies
+    in (-1, G); widened by PG_EPS for the floor-based boundary derivative
+    (see PG_EPS note)."""
+    R = rgp.reshape(-1, 3, 3)
+    f = (jnp.einsum("nk,bck->nbc", pts, R, precision=_HIGHEST)
+         + tgp[None])                               # [n, BPD, 3]
+    return jnp.all((f > -1.0 - PG_EPS) & (f < G + PG_EPS), axis=-1)
+
+
+def _support_sort_perm(sup):
+    """(perm, inv_perm, gsig) sorting SORT_GROUP-sample groups by their
+    OR'd support-bit signature — support-homogeneous tiles (the Morton
+    sort's spatial locality is only a proxy for this). sup [n_pad, BPD]
+    bool with n_pad a SORT_GROUP multiple. Group-level inverse, same
+    rationale as `_group_sort_perm`."""
+    n_pad, BPD = sup.shape
+    assert BPD <= 31, "signature packing needs <= 31 bone channels"
+    g = jnp.any(sup.reshape(n_pad // SORT_GROUP, SORT_GROUP, BPD), axis=1)
+    sig = jnp.sum(g.astype(jnp.int32)
+                  << jnp.arange(BPD, dtype=jnp.int32)[None], axis=1)
+    gperm = jnp.argsort(sig)                        # stable: ray order
+    n_groups = gperm.shape[0]
+    inv_gperm = jnp.zeros((n_groups,), gperm.dtype).at[gperm].set(
+        jnp.arange(n_groups, dtype=gperm.dtype), unique_indices=True)
+    lane = jnp.arange(SORT_GROUP)[None, :]
+    perm = (gperm[:, None] * SORT_GROUP + lane).reshape(-1)
+    inv_perm = (inv_gperm[:, None] * SORT_GROUP + lane).reshape(-1)
+    return perm, inv_perm
+
+
 def _build_pairs(pts_s, rgp, tgp, B: int, BPD: int, G: int):
-    """Compact alive (tile, bone-quad) pairs from sorted samples.
+    """Compact alive (tile, bone-quad) pairs from sorted samples with the
+    round-3 AABB interval predicate (the 'morton' path; conservative —
+    bone b can touch tile t iff its grid-coordinate interval over the
+    tile's AABB intersects (-1, G) on every axis).
 
     pts_s [n_pad, 3] sorted points; rgp/tgp [BPD, 9]/[BPD, 3] grid-affine
     (zero-padded past B). Returns (pair_tile [CAP], pair_bone [CAP, NGB],
-    n_pairs traced scalar) with pairs sorted by tile, dummy bones = BPD-1.
-
-    The predicate is support-exact for the hat taps: bone b can touch tile
-    t iff its grid-coordinate interval (interval arithmetic over the
-    tile's AABB) intersects (-1, G) on every axis — outside that, every
-    tap weight is exactly 0 (and so is every gradient)."""
-    NGB = 128 // G
-    NQ = BPD // NGB
+    n_pairs traced scalar) with pairs sorted by tile, dummy bones = BPD-1."""
     n_tiles = pts_s.shape[0] // TILE_PG
     p = pts_s.reshape(n_tiles, TILE_PG, 3)
     lo = jnp.min(p, axis=1)                          # [n_tiles, 3]
@@ -657,7 +705,17 @@ def _build_pairs(pts_s, rgp, tgp, B: int, BPD: int, G: int):
     b2 = hi[:, None, None, :] * R[None]
     fmin = jnp.sum(jnp.minimum(a, b2), -1) + tgp[None]
     fmax = jnp.sum(jnp.maximum(a, b2), -1) + tgp[None]
-    alive = jnp.all((fmax > -1.0) & (fmin < G), axis=-1)
+    alive = jnp.all((fmax > -1.0 - PG_EPS) & (fmin < G + PG_EPS), axis=-1)
+    return _compact_pairs(alive, B, BPD, G)
+
+
+def _compact_pairs(alive, B: int, BPD: int, G: int):
+    """Compact a [n_tiles, BPD] alive matrix into the static-capacity
+    (tile, bone-quad) pair list (pairs sorted by tile, dummy bones =
+    BPD-1, quad 0 of every tile forced alive)."""
+    NGB = 128 // G
+    NQ = BPD // NGB
+    n_tiles = alive.shape[0]
     alive = alive & (jnp.arange(BPD) < B)[None, :]   # pad channels dead
 
     # alive bones first (stable by index), dead slots -> dummy bone
@@ -689,6 +747,9 @@ def _pack_bones(bones, NGB: int):
     8-patch batch the unpacked [cap, NGB] s32 table alone is 896 KB
     against the 1 MB SMEM budget (measured compile OOM); packed it is
     224 KB. bones [cap, NGB] with values < 256 -> [cap, ceil(NGB/4)]."""
+    # byte packing silently corrupts indices >= 256 (ADVICE r3 #1); every
+    # shipped config has BPD <= 28 — guard the invariant, not the config
+    assert bones.shape[1] == NGB
     cap = bones.shape[0]
     nw = -(-NGB // 4)
     pad = nw * 4 - NGB
@@ -876,7 +937,10 @@ def _pg_pad_shapes(B: int, G: int):
     """(NGB, BPD): bones padded so BPD is a quad multiple AND has at
     least one dummy (zero-volume) channel for dead lanes."""
     NGB, BP = _pack_shape(B, G)
-    return NGB, (BP if BP > B else BP + NGB)
+    BPD = BP if BP > B else BP + NGB
+    assert BPD <= 256, (
+        f"pair-grid byte-packs bone indices (< 256); got BPD={BPD}")
+    return NGB, BPD
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
@@ -897,11 +961,27 @@ def _pg_fwd(pts_g, rg, tg, vol_qz, prec):
     assert QQ == G * G, "inverse_core_pg needs cubic volumes"
     NGB, BPD = _pg_pad_shapes(B, G)
     pts_p, n = _pad_rows(pts_g.astype(jnp.float32), TILE_PG)
-    perm, inv_perm = _group_sort_perm(pts_p)
-    pts_s = pts_p[perm]
     rgp = jnp.pad(rg.astype(jnp.float32), ((0, BPD - B), (0, 0)))
     tgp = jnp.pad(tg.astype(jnp.float32), ((0, BPD - B), (0, 0)))
-    pair_tile, pair_bone, n_pairs = _build_pairs(pts_s, rgp, tgp, B, BPD, G)
+    if PG_SORT == "sig":
+        # exact per-sample support drives BOTH the sort key (support-
+        # homogeneous tiles) and the tile-alive predicate (no AABB
+        # false-positives). Padding rows (zeros) map to f = tgp which
+        # may sit in-grid — mask pad channels AND pad rows dead.
+        sup = _sample_support(pts_p, rgp, tgp, G)
+        sup = sup & (jnp.arange(BPD) < B)[None, :]
+        sup = sup & (jnp.arange(pts_p.shape[0]) < n)[:, None]
+        perm, inv_perm = _support_sort_perm(sup)
+        pts_s = pts_p[perm]
+        n_tiles = pts_s.shape[0] // TILE_PG
+        alive = jnp.any(
+            sup[perm].reshape(n_tiles, TILE_PG, BPD), axis=1)
+        pair_tile, pair_bone, n_pairs = _compact_pairs(alive, B, BPD, G)
+    else:
+        perm, inv_perm = _group_sort_perm(pts_p)
+        pts_s = pts_p[perm]
+        pair_tile, pair_bone, n_pairs = _build_pairs(
+            pts_s, rgp, tgp, B, BPD, G)
     coef = _pg_coef(rgp, tgp)
     dt = jnp.bfloat16 if prec == "bf16" else jnp.float32
     vol = _pg_vol(vol_qz, BPD, dt)
