@@ -246,17 +246,15 @@ class HumanObjectField(nn.Module):
         # for ALL samples with a mask instead of boolean gathering ----
         if is_train:
             # Both forward branches (cycle + prev-frame flow) sample the
-            # weight volume at the SAME canonical points — compute the
-            # all-bone weights once, blend BOTH transform sets in one
-            # stacked einsum, and run ONE 2N-sample non_rigid_forward_mlp
-            # pass over the concatenated deform streams (vs the
-            # reference's two full _sample_motion_fields_forward +
-            # non_rigid_forward_mlp passes, network.py:472-535; identical
-            # math — the module is per-sample, so grads through the
-            # concatenated call equal the sum over two separate calls).
-            fwd_weights = lbs_ops.bone_weights(
-                cnl_pts, motion_weights_vol, batch["cnl_bbox_min_xyz"],
-                batch["cnl_bbox_scale_xyz"], impl=self.lbs_impl)
+            # weight volume at the SAME canonical points — sample ONCE,
+            # blend BOTH transform sets (one fused Pallas kernel on TPU:
+            # the [N, B] weights never leave VMEM), and run ONE 2N-sample
+            # non_rigid_forward_mlp pass over the concatenated deform
+            # streams (vs the reference's two full
+            # _sample_motion_fields_forward + non_rigid_forward_mlp
+            # passes, network.py:472-535; identical math — the module is
+            # per-sample, so grads through the concatenated call equal
+            # the sum over two separate calls).
             dst_Rs_prev, dst_Ts_prev = self._refine_pose(
                 batch["dst_Rs_prev"], batch["dst_Ts_prev"],
                 batch["dst_posevec_prev"][:self.pose_embedding_size],
@@ -267,10 +265,13 @@ class HumanObjectField(nn.Module):
                 batch["dst_posevec_prev"][None,
                                           :self.nr_condition_code_size],
                 iter_val)
-            deform_both, _ = lbs_ops.apply_forward_lbs_multi(
-                fwd_weights, cnl_pts,
+            deform_both, _ = lbs_ops.forward_warp_multi(
+                cnl_pts,
                 jnp.stack([m_sR_fwd, p_sR_fwd]),
-                jnp.stack([m_T_fwd, p_T_fwd]))           # [2, N, 3]
+                jnp.stack([m_T_fwd, p_T_fwd]),
+                motion_weights_vol, batch["cnl_bbox_min_xyz"],
+                batch["cnl_bbox_scale_xyz"],
+                impl=self.lbs_impl)                      # [2, N, 3]
             n = cnl_pts.shape[0]
             deform_both = deform_both.reshape(2 * n, 3)
             if not self.ignore_non_rigid_motions:

@@ -349,6 +349,31 @@ def bone_weights(pts, motion_weights_vol, cnl_bbox_min_xyz,
                       for b in range(B)], axis=1)
 
 
+def forward_warp_multi(pts, motion_scale_Rs_fwd, motion_Ts_fwd,
+                       motion_weights_vol, cnl_bbox_min_xyz,
+                       cnl_bbox_scale_xyz, impl: str = "auto"):
+    """Forward LBS for K stacked transform sets at shared points:
+    (x_deform [K,N,3], wsum [N,1]) — the one-call form of
+    bone_weights + apply_forward_lbs_multi (ref network.py:355-396;
+    the cycle and prev-frame flow branches blend the SAME weights with
+    different bone transforms, network.py:472-535).
+
+    On TPU this runs the fully fused Pallas kernel (weights never leave
+    VMEM; measured 23.4 -> 21.7 ms fwd+bwd at 262k samples, K=2 — the
+    residual is the shared-tap sampling itself, see
+    ops/pallas/lbs.py); elsewhere it composes the XLA/gather forms."""
+    impl = resolve_impl(impl, motion_weights_vol)
+    if impl == "pallas":
+        from hosnerf_tpu.ops.pallas import lbs as plbs
+        return plbs.forward_lbs_multi(
+            pts, motion_scale_Rs_fwd, motion_Ts_fwd, motion_weights_vol,
+            cnl_bbox_min_xyz, cnl_bbox_scale_xyz)
+    w = bone_weights(pts, motion_weights_vol, cnl_bbox_min_xyz,
+                     cnl_bbox_scale_xyz, impl=impl)
+    return apply_forward_lbs_multi(w, pts, motion_scale_Rs_fwd,
+                                   motion_Ts_fwd)
+
+
 def apply_forward_lbs(weights: jnp.ndarray, pts: jnp.ndarray,
                       motion_scale_Rs_fwd: jnp.ndarray,
                       motion_Ts_fwd: jnp.ndarray):

@@ -1243,6 +1243,237 @@ shared_core.defvjp(lambda p, v, prec: _shared_fwd(p, v, prec),
 
 
 # ---------------------------------------------------------------------------
+# shared-tap + blend kernel: forward LBS fully fused
+# ---------------------------------------------------------------------------
+#
+# The training-path forward skinning (cycle + prev-frame flow branches)
+# composes bone_weights (shared_core) with apply_forward_lbs_multi (two
+# XLA einsums). As separate ops the [N, B] weight matrix round-trips HBM
+# padded 26 -> 128 lanes (4.9x blowup; ~134 MB per touch at 262k samples)
+# and is touched by forward, both einsums, and their transposes. This
+# kernel blends INSIDE the tile: w stays in VMEM, HBM traffic is pts in /
+# [N, 3K+1] out. The K transform sets enter as one [B, 12K] coefficient
+# table rmat with column (k, c, j) = 12k + 4c + j holding the world-output
+# affine of grid-space inputs (R'_kb = R_kb/s, T'_kb = T_kb - R_kb o/s,
+# folded by the XLA wrapper, which autodiffs the fold), j = 3 -> the
+# translation. Measured (v5e, 262k samples, K=2, fwd+bwd): composed
+# pallas-weights + XLA blend 23.4 ms -> fused 21.7 ms. The residual is
+# the shared-tap sampling itself (17.7 ms alone): the [T, G^2] @
+# [G^2, B*G] tap matmul evaluates every (bone, z) column — ~850k MACs
+# per sample against 208 true taps — and runs at ~60% MFU, so the
+# kernel family's floor is FLOP-bound redundancy, not the blend.
+
+
+def _blend_cols(A, P, K: int):
+    """acc[t, 3k+c] = sum_j P[t, j] * A[t, 12k+4c+j] — the per-sample
+    affine application, done as 1-lane column ops (3K*4 multiply-adds on
+    [T, 1]; negligible next to the tap matmul)."""
+    cols = []
+    for k in range(K):
+        for c in range(3):
+            base = 12 * k + 4 * c
+            cols.append(P[:, 0:1] * A[:, base:base + 1]
+                        + P[:, 1:2] * A[:, base + 1:base + 2]
+                        + P[:, 2:3] * A[:, base + 2:base + 3]
+                        + A[:, base + 3:base + 4])
+    return jnp.concatenate(cols, axis=1)                 # [T, 3K]
+
+
+def _shared_blend_fwd_kernel(pts_ref, vol_ref, sum_ref, rmat_ref, out_ref,
+                             *, B: int, G: int, K: int, prec: str):
+    """out[t] = (acc_0 [3], ..., acc_{K-1} [3], wsum [1]) where
+    acc_k = sum_b w_b * (R'_kb p_g + T'_kb), w from the shared-tap
+    sampling of `_shared_fwd_kernel`."""
+    fx = pts_ref[:, 0:1]
+    fy = pts_ref[:, 1:2]
+    fz = pts_ref[:, 2:3]
+    T = fx.shape[0]
+    xq, yq = _xy_iotas_f(T, G)
+    ic = jax.lax.broadcasted_iota(jnp.int32, (T, B * G), 1)
+    zc = ((ic & (G - 1)) if G & (G - 1) == 0
+          else jnp.remainder(ic, G)).astype(jnp.float32)
+
+    onehot = _hat(fx, xq) * _hat(fy, yq)                 # [T, G*G]
+    zcols = _mm(onehot, vol_ref[:, :], prec)             # [T, B*G]
+    w = _mm(zcols * _hat(fz, zc), sum_ref[:, :], prec)   # [T, B]
+    A = _mm(w, rmat_ref[:, :], "highest")                # [T, 12K]
+    P = jnp.concatenate([fx, fy, fz], axis=1)
+    acc = _blend_cols(A, P, K)
+    out_ref[:, :] = jnp.concatenate(
+        [acc, jnp.sum(w, axis=1, keepdims=True)], axis=1)
+
+
+def _shared_blend_bwd_kernel(pts_ref, vol_ref, sum_ref, exp_ref, rmat_ref,
+                             gout_ref, dpts_ref, dvol_ref, drmat_ref,
+                             *, B: int, G: int, K: int, prec: str):
+    """Backward by recomputation. gout [T, 3K+1] = (dacc_k, dwsum).
+    dvol / drmat accumulate across sequential grid steps."""
+    step = pl.program_id(0)
+
+    @pl.when(step == 0)
+    def _init():
+        dvol_ref[:, :] = jnp.zeros_like(dvol_ref)
+        drmat_ref[:, :] = jnp.zeros_like(drmat_ref)
+
+    fx = pts_ref[:, 0:1]
+    fy = pts_ref[:, 1:2]
+    fz = pts_ref[:, 2:3]
+    T = fx.shape[0]
+    xq, yq = _xy_iotas_f(T, G)
+    ic = jax.lax.broadcasted_iota(jnp.int32, (T, B * G), 1)
+    zc = ((ic & (G - 1)) if G & (G - 1) == 0
+          else jnp.remainder(ic, G)).astype(jnp.float32)
+
+    tx = _hat(fx, xq)
+    ty = _hat(fy, yq)
+    onehot = tx * ty
+    ztap = _hat(fz, zc)
+    zcols = _mm(onehot, vol_ref[:, :], prec)            # [T, B*G]
+    w = _mm(zcols * ztap, sum_ref[:, :], prec)          # [T, B]
+    A = _mm(w, rmat_ref[:, :], "highest")               # [T, 12K]
+
+    g = gout_ref[:, :3 * K]                              # [T, 3K]
+    gws = gout_ref[:, 3 * K:3 * K + 1]                   # [T, 1]
+    # q[t, 12k+4c+j] = g[t, 3k+c] * P[t, j]  (P = (fx, fy, fz, 1))
+    qcols = []
+    for k in range(K):
+        for c in range(3):
+            gc = g[:, 3 * k + c:3 * k + c + 1]
+            qcols.extend([gc * fx, gc * fy, gc * fz, gc])
+    q = jnp.concatenate(qcols, axis=1)                   # [T, 12K]
+
+    dims_t = (((0,), (0,)), ((), ()))
+    dims_c = (((1,), (1,)), ((), ()))
+    drmat_ref[:, :] += _mm(w, q, "highest", dims=dims_t)  # [B, 12K]
+    dw = _mm(q, rmat_ref[:, :], "highest", dims=dims_c) + gws  # [T, B]
+
+    # direct dpts from the blend: dacc/dp_g[c',j] = A columns
+    dpts_direct = jnp.concatenate(
+        [sum(g[:, 3 * k + c:3 * k + c + 1]
+             * A[:, 12 * k + 4 * c + j:12 * k + 4 * c + j + 1]
+             for k in range(K) for c in range(3))
+         for j in range(3)], axis=1)                     # [T, 3]
+
+    # sampling grads with gw := dw (mirrors `_shared_bwd_kernel`)
+    gw_exp = _mm(dw, exp_ref[:, :], prec)                # [T, B*G]
+    dzcols = gw_exp * ztap
+    dvol_ref[:, :] += _mm(onehot, dzcols, prec, dims=dims_t)
+    U = _mm(dzcols, vol_ref[:, :], prec, dims=dims_c)    # [T, G*G]
+    dfx = jnp.sum(_dhat(_clipped_floor(fx, G), xq) * ty * U,
+                  axis=1, keepdims=True)
+    dfy = jnp.sum(tx * _dhat(_clipped_floor(fy, G), yq) * U,
+                  axis=1, keepdims=True)
+    dfz = jnp.sum(gw_exp * _dhat(_clipped_floor(fz, G), zc) * zcols,
+                  axis=1, keepdims=True)
+    dpts_ref[:, :] = (jnp.concatenate([dfx, dfy, dfz], axis=1)
+                      + dpts_direct)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def shared_blend_core(pts_g, vol_all, rmat, prec="bf16"):
+    """Fused forward LBS: shared-tap weights + K-set affine blend.
+
+    pts_g [N, 3] grid coords; vol_all [G*G, B*G]; rmat [B, 12K].
+    Returns [N, 3K+1] = (acc_0..acc_{K-1} world coords, wsum)."""
+    return _shared_blend_fwd(pts_g, vol_all, rmat, prec)[0]
+
+
+def _shared_blend_fwd(pts_g, vol_all, rmat, prec):
+    QQ, BG = vol_all.shape
+    G = int(round(QQ ** 0.5))
+    B = BG // G
+    K = rmat.shape[1] // 12
+    assert G * G == QQ and B * G == BG and rmat.shape == (B, 12 * K)
+    pts_p, n = _pad_rows(pts_g.astype(jnp.float32), TILE_SH)
+    dt = jnp.bfloat16 if prec == "bf16" else jnp.float32
+    vol = vol_all.astype(dt)
+    sum_blk = jnp.asarray(np.kron(np.eye(B), np.ones((G, 1))), dt)
+    grid = (pts_p.shape[0] // TILE_SH,)
+    kern = functools.partial(_shared_blend_fwd_kernel, B=B, G=G, K=K,
+                             prec=prec)
+    out = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((TILE_SH, 3), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((QQ, BG), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((BG, B), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, 12 * K), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((TILE_SH, 3 * K + 1), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((pts_p.shape[0], 3 * K + 1),
+                                       jnp.float32),
+        interpret=_interpret(),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 2**20),
+    )(pts_p, vol, sum_blk, rmat.astype(jnp.float32))
+    return out[:n], (pts_g, vol_all, rmat)
+
+
+def _shared_blend_bwd(prec, res, gout):
+    pts_g, vol_all, rmat = res
+    QQ, BG = vol_all.shape
+    G = int(round(QQ ** 0.5))
+    B = BG // G
+    K = rmat.shape[1] // 12
+    pts_p, n = _pad_rows(pts_g.astype(jnp.float32), TILE_SH)
+    g_p, _ = _pad_rows(gout.astype(jnp.float32), TILE_SH)
+    dt = jnp.bfloat16 if prec == "bf16" else jnp.float32
+    vol = vol_all.astype(dt)
+    sum_blk = jnp.asarray(np.kron(np.eye(B), np.ones((G, 1))), dt)
+    expand = jnp.asarray(np.kron(np.eye(B), np.ones((1, G))), dt)
+    grid = (pts_p.shape[0] // TILE_SH,)
+    kern = functools.partial(_shared_blend_bwd_kernel, B=B, G=G, K=K,
+                             prec=prec)
+    dpts, dvol, drmat = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((TILE_SH, 3), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((QQ, BG), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((BG, B), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, BG), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, 12 * K), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_SH, 3 * K + 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((TILE_SH, 3), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((QQ, BG), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, 12 * K), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((pts_p.shape[0], 3), jnp.float32),
+            jax.ShapeDtypeStruct((QQ, BG), jnp.float32),
+            jax.ShapeDtypeStruct((B, 12 * K), jnp.float32),
+        ],
+        interpret=_interpret(),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 2**20),
+    )(pts_p, vol, sum_blk, expand, rmat.astype(jnp.float32), g_p)
+    return (dpts[:n].astype(pts_g.dtype), dvol.astype(vol_all.dtype),
+            drmat.astype(rmat.dtype))
+
+
+shared_blend_core.defvjp(
+    lambda p, v, r, prec: _shared_blend_fwd(p, v, r, prec),
+    _shared_blend_bwd)
+
+
+# ---------------------------------------------------------------------------
 # high-level wrappers matching ops/lbs.py semantics
 # ---------------------------------------------------------------------------
 
@@ -1285,6 +1516,44 @@ def inverse_lbs(pts, motion_scale_Rs, motion_Ts, motion_weights_vol,
     # grid-space accumulator back to world: p = (f - o)/s
     x_skel = (acc[:, :3] / m - o[None, :] * (wsum / m)) / s[None, :]
     return x_skel, wsum
+
+
+def forward_lbs_multi(pts, motion_scale_Rs_fwd, motion_Ts_fwd,
+                      motion_weights_vol, cnl_bbox_min_xyz,
+                      cnl_bbox_scale_xyz, *, precision: str = "bf16"):
+    """Fully fused forward LBS for K transform sets: bone weights sampled
+    once at the shared canonical points and blended against each set's
+    affines inside the kernel — semantics of ops/lbs.bone_weights +
+    ops/lbs.apply_forward_lbs_multi (ref network.py:355-396,472-535).
+
+    pts [N,3] world canonical points; motion_scale_Rs_fwd [K,B,3,3];
+    motion_Ts_fwd [K,B,3]. Returns (x_deform [K,N,3], wsum [N,1])."""
+    B = motion_weights_vol.shape[0] - 1
+    D, H, W = motion_weights_vol.shape[1:]
+    assert D == H == W, "pallas forward_lbs_multi assumes cubic volumes"
+    G = D
+    K = motion_scale_Rs_fwd.shape[0]
+    s, o = _grid_affine(cnl_bbox_min_xyz, cnl_bbox_scale_xyz, G)
+    pts_g = pts * s[None, :] + o[None, :]
+    # vol[b, z, y, x] -> [y*G+x, b*G+z] (shared kernel layout)
+    vol_all = jnp.transpose(motion_weights_vol[:B], (2, 3, 0, 1)).reshape(
+        G * G, B * G)
+    # world output from grid input: p = (p_g - o)/s =>
+    #   R' = R diag(1/s), T' = T - R (o/s)
+    inv_s = 1.0 / s
+    Rp = motion_scale_Rs_fwd * inv_s[None, None, None, :]   # [K,B,3,3]
+    Tp = motion_Ts_fwd - jnp.einsum(
+        "kbcj,j->kbc", Rp, o, precision=_HIGHEST)            # [K,B,3]
+    # rmat [B, 12K], col (k, c, j) = 12k + 4c + j; j == 3 -> translation
+    rmat = jnp.concatenate(
+        [jnp.concatenate([Rp[k, :, c, :], Tp[k, :, c:c + 1]], axis=1)
+         for k in range(K) for c in range(3)], axis=1)
+    out = shared_blend_core(pts_g, vol_all, rmat, precision)
+    wsum = out[:, 3 * K:3 * K + 1]
+    m = jnp.maximum(wsum, 1e-4)
+    acc = out[:, :3 * K].reshape(-1, K, 3)
+    x_deform = jnp.transpose(acc, (1, 0, 2)) / m[None]
+    return x_deform, wsum
 
 
 def bone_weights(pts, motion_weights_vol, cnl_bbox_min_xyz,

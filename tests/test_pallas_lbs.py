@@ -200,6 +200,63 @@ def test_pairgrid_actually_compacts(data_pg):
         assert len(np.unique(real)) == len(real)
 
 
+def test_forward_lbs_multi_fused_matches_composition(data):
+    """The fused shared-tap + blend kernel == bone_weights followed by
+    apply_forward_lbs_multi, values and grads (K=2 transform sets)."""
+    pts, Rs, Ts, vol, bmin, bscale = data
+    rng = np.random.RandomState(3)
+    Rs2 = jnp.asarray(np.stack(
+        [np.eye(3) + 0.1 * rng.randn(3, 3) for _ in range(B)]), jnp.float32)
+    Ts2 = jnp.asarray(0.2 * rng.randn(B, 3), jnp.float32)
+    Rk = jnp.stack([Rs, Rs2])
+    Tk = jnp.stack([Ts, Ts2])
+
+    def ref(p, v, R, T):
+        w = xlbs.bone_weights(p, v, bmin, bscale, impl="gather")
+        return xlbs.apply_forward_lbs_multi(w, p, R, T)
+
+    x_ref, ws_ref = ref(pts, vol, Rk, Tk)
+    x, ws = plbs.forward_lbs_multi(pts, Rk, Tk, vol, bmin, bscale,
+                                   precision="highest")
+    np.testing.assert_allclose(x, x_ref, atol=2e-4)
+    np.testing.assert_allclose(ws, ws_ref, atol=1e-5)
+    x_bf, _ = plbs.forward_lbs_multi(pts, Rk, Tk, vol, bmin, bscale,
+                                     precision="bf16")
+    np.testing.assert_allclose(x_bf, x_ref, atol=5e-2)
+
+    def loss(fn, p, v, R, T):
+        x, ws = fn(p, v, R, T)
+        return (jnp.sum(jnp.sin(x) * jnp.arange(x.size).reshape(x.shape))
+                + jnp.sum(ws * ws))
+
+    import functools
+    f_fused = lambda p, v, R, T: plbs.forward_lbs_multi(  # noqa: E731
+        p, R, T, v, bmin, bscale, precision="highest")
+    g_ref = jax.grad(lambda *a: loss(ref, *a), argnums=(0, 1, 2, 3))(
+        pts, vol, Rk, Tk)
+    g_f = jax.grad(lambda *a: loss(f_fused, *a), argnums=(0, 1, 2, 3))(
+        pts, vol, Rk, Tk)
+    for nm, a, b in zip(["dpts", "dvol", "dR", "dT"], g_f, g_ref):
+        scale = max(float(jnp.abs(b).max()), 1e-6)
+        np.testing.assert_allclose(np.asarray(a) / scale,
+                                   np.asarray(b) / scale,
+                                   atol=5e-5, err_msg=nm)
+
+
+def test_forward_warp_multi_dispatch(data):
+    pts, Rs, Ts, vol, bmin, bscale = data
+    Rk = jnp.stack([Rs, Rs])
+    Tk = jnp.stack([Ts, Ts + 0.1])
+    x_ref, ws_ref = xlbs.forward_warp_multi(pts, Rk, Tk, vol, bmin,
+                                            bscale, impl="gather")
+    for impl in ("xla", "pallas"):
+        x, ws = xlbs.forward_warp_multi(pts, Rk, Tk, vol, bmin, bscale,
+                                        impl=impl)
+        tol = 5e-2 if impl == "pallas" else 1e-5  # pallas default = bf16
+        np.testing.assert_allclose(x, x_ref, atol=tol)
+        np.testing.assert_allclose(ws, ws_ref, atol=tol)
+
+
 def test_pairgrid_grads_match_dense(data_pg):
     pts, Rs, Ts, vol, bmin, bscale = data_pg
 
