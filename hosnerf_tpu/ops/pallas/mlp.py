@@ -43,6 +43,7 @@ from typing import Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -141,30 +142,16 @@ def _fwd_kernel(x_ref, *refs, spec: TrunkSpec):
     out_ref[:, :] = _forward_tile(x_ref[:, :], wbs, wout, bout, spec)
 
 
-def _bwd_kernel(x_ref, *refs, spec: TrunkSpec):
-    L = len(spec.layer_dims)
-    flat = refs[:2 * L + 2]
-    gout_ref = refs[2 * L + 2]
-    dx_ref = refs[2 * L + 3]
-    dwb = refs[2 * L + 4:]  # dW0, db0, ..., dWout, dbout
+def _trunk_bwd_tile(x, wbs, wout, bout, gout, dwb, spec: TrunkSpec):
+    """Backward of `_forward_tile` for one tile by recomputation.
+    Accumulates into the dwb refs (dW0, db0, ..., dWout, dbout — caller
+    zeroes them at grid step 0) and returns d/dx [T, Din] f32."""
     prec = spec.prec
     dt = jnp.bfloat16 if prec == "bf16" else jnp.float32
     dims_t = (((0,), (0,)), ((), ()))   # contract over rows (T)
     dims_n = (((1,), (1,)), ((), ()))   # g @ W^T
-
-    step = pl.program_id(0)
-
-    @pl.when(step == 0)
-    def _init():
-        for r in dwb:
-            r[:, :] = jnp.zeros_like(r)
-
-    wbs = [(flat[2 * i][:, :], flat[2 * i + 1][:, :]) for i in range(L)]
-    wout = flat[2 * L][:, :]
-    bout = flat[2 * L + 1][:, :]
-    x = x_ref[:, :]
+    L = len(spec.layer_dims)
     _, hf, acts = _forward_tile(x, wbs, wout, bout, spec, keep_acts=True)
-    gout = gout_ref[:, :]                                   # [T, Dout] f32
 
     # output head (f32)
     dwb[2 * L][:, :] += _mm(hf, gout, "highest", dims=dims_t)
@@ -202,7 +189,28 @@ def _bwd_kernel(x_ref, *refs, spec: TrunkSpec):
                                    jnp.float32))
         dx = dx + (parts[0] if len(parts) == 1
                    else jnp.concatenate(parts, axis=1))
-    dx_ref[:, :] = dx
+    return dx
+
+
+def _bwd_kernel(x_ref, *refs, spec: TrunkSpec):
+    L = len(spec.layer_dims)
+    flat = refs[:2 * L + 2]
+    gout_ref = refs[2 * L + 2]
+    dx_ref = refs[2 * L + 3]
+    dwb = refs[2 * L + 4:]  # dW0, db0, ..., dWout, dbout
+
+    step = pl.program_id(0)
+
+    @pl.when(step == 0)
+    def _init():
+        for r in dwb:
+            r[:, :] = jnp.zeros_like(r)
+
+    wbs = [(flat[2 * i][:, :], flat[2 * i + 1][:, :]) for i in range(L)]
+    wout = flat[2 * L][:, :]
+    bout = flat[2 * L + 1][:, :]
+    dx_ref[:, :] = _trunk_bwd_tile(x_ref[:, :], wbs, wout, bout,
+                                   gout_ref[:, :], dwb, spec)
 
 
 @functools.lru_cache(maxsize=None)
@@ -306,6 +314,365 @@ class _SpecFromKey(TrunkSpec):
          out_dim, prec) = key
         super().__init__(layer_dims, skip_before, skip_order, skip_off,
                          skip_width, out_dim, prec)
+
+
+# ---------------------------------------------------------------------------
+# embed-fused trunks: positional encoding built IN KERNEL (round 4)
+# ---------------------------------------------------------------------------
+#
+# The round-2 trunk-only kernel above measured ~10% behind XLA: back-to-
+# back [N, 256] matmuls alone are something XLA already pipelines well.
+# What XLA can NOT do is fuse the sin/cos feature build + concat chain
+# into the first matmul's operand: the [N, 63]/[N, 36] embeds and the
+# [N, 127] concat round-trip HBM, and their backward (cos/sin reruns +
+# concat adjoints) does it again. These kernels take the RAW [N, 3]
+# points, build the fourier/hann-windowed features in VMEM in a PERMUTED
+# layout ([x | sin f0..fF | cos f0..fF] — 3 wide-lane concats instead of
+# 2F width-3 interleaved pieces), and compensate by gathering the rows
+# of W0 (and of the skip layer's W) on the host side, which autodiff
+# transposes for free. Everything else reuses the trunk machinery above.
+#
+# Grad contract: d(alpha) = 0 (the hann window anneal is a schedule of
+# iter_val, never differentiated — matches the flax path where iter_val
+# is a non-diff argument).
+
+
+class EmbedSpec:
+    """Static embed preamble config (hashable part of the kernel key).
+
+    kind: 'fourier' (identity prepended) | 'hannw' (windowed, no identity).
+    aux_mode: 'broadcast' ([1, A] row, gradient accumulated) or 'stream'
+    ([N, A] per-sample, gradient streamed). aux_first: aux before the
+    embed in the trunk input concat (NonRigid: [cond, embed]; Canonical:
+    [embed, state])."""
+
+    def __init__(self, kind, multires, aux_width, aux_mode, aux_first):
+        self.kind = kind
+        self.multires = multires
+        self.include_input = kind == "fourier"
+        self.aux_width = aux_width
+        self.aux_mode = aux_mode
+        self.aux_first = aux_first
+
+    @property
+    def ex_width(self):
+        return 3 * (1 if self.include_input else 0) + 6 * self.multires
+
+    def key(self):
+        return (self.kind, self.multires, self.aux_width, self.aux_mode,
+                self.aux_first)
+
+
+def embed_row_perm(multires: int, include_input: bool) -> np.ndarray:
+    """perm[p] = ORIGINAL embed row feeding permuted-layout lane p.
+    Original layout (models/embedders.py): [x?, sin f0 (3), cos f0 (3),
+    sin f1 (3), ...]; permuted: [x?, sin f0..fF (3F), cos f0..fF (3F)]."""
+    idoff = 3 if include_input else 0
+    perm = list(range(idoff))
+    for block in (0, 3):  # sin rows, then cos rows
+        for j in range(multires):
+            for c in range(3):
+                perm.append(idoff + 6 * j + block + c)
+    return np.asarray(perm)
+
+
+def _j_row(F: int):
+    """[1, 3F] f32 row of lane frequency indices (l // 3), built in-kernel
+    (pallas forbids captured array constants)."""
+    il = jax.lax.broadcasted_iota(jnp.int32, (1, 3 * F), 1)
+    return (il // 3).astype(jnp.float32)
+
+
+def _embed_build(x, espec: EmbedSpec, alpha):
+    """x [T, 3] f32 -> (ex [T, ex_width] permuted layout, s, c, freq_row);
+    s/c are the (windowed) sin/cos blocks reused by the backward chain."""
+    F = espec.multires
+    j_row = _j_row(F)
+    freq_row = jnp.exp2(j_row)                             # [1, 3F]
+    xrep = jnp.concatenate([x] * F, axis=1)                # [T, 3F]
+    scaled = xrep * freq_row
+    s = jnp.sin(scaled)
+    c = jnp.cos(scaled)
+    if espec.kind == "hannw":
+        w = (1.0 - jnp.cos(jnp.pi * jnp.clip(alpha - j_row,
+                                             0.0, 1.0))) / 2.0
+        s = s * w
+        c = c * w
+    parts = ([x] if espec.include_input else []) + [s, c]
+    return jnp.concatenate(parts, axis=1), s, c, freq_row
+
+
+def _embed_bwd(x, g_ex, espec: EmbedSpec, alpha):
+    """d/dx of the embed chain. g_ex [T, ex_width] (permuted layout)."""
+    F = espec.multires
+    _, s, c, freq_row = _embed_build(x, espec, alpha)
+    idoff = 3 if espec.include_input else 0
+    g_s = g_ex[:, idoff:idoff + 3 * F]
+    g_c = g_ex[:, idoff + 3 * F:idoff + 6 * F]
+    # d(w sin(fx))/dx = f * (w cos(fx));  d(w cos(fx))/dx = -f * (w sin)
+    t = (g_s * c - g_c * s) * freq_row                     # [T, 3F]
+    # sel [3F, 3]: 1 where row % 3 == col (coordinate selector)
+    r3 = jax.lax.broadcasted_iota(jnp.int32, (3 * F, 3), 0) % 3
+    c3 = jax.lax.broadcasted_iota(jnp.int32, (3 * F, 3), 1)
+    sel = (r3 == c3).astype(jnp.float32)
+    dx = _mm(t, sel, "highest")
+    if espec.include_input:
+        dx = dx + g_ex[:, :3]
+    return dx
+
+
+def _assemble_input(ex, aux, espec: EmbedSpec):
+    T = ex.shape[0]
+    if espec.aux_mode == "broadcast":
+        aux = jnp.broadcast_to(aux, (T, espec.aux_width))
+    return (jnp.concatenate([aux, ex], axis=1) if espec.aux_first
+            else jnp.concatenate([ex, aux], axis=1))
+
+
+def _efwd_kernel(x_ref, aux_ref, alpha_ref, *refs,
+                 spec: TrunkSpec, espec: EmbedSpec):
+    out_ref = refs[-1]
+    flat = refs[:-1]
+    L = len(spec.layer_dims)
+    wbs = [(flat[2 * i][:, :], flat[2 * i + 1][:, :]) for i in range(L)]
+    wout = flat[2 * L][:, :]
+    bout = flat[2 * L + 1][:, :]
+    ex, _, _, _ = _embed_build(x_ref[:, :], espec, alpha_ref[0, 0])
+    full = _assemble_input(ex, aux_ref[:, :], espec)
+    out_ref[:, :] = _forward_tile(full, wbs, wout, bout, spec)
+
+
+def _ebwd_kernel(x_ref, aux_ref, alpha_ref, *refs,
+                 spec: TrunkSpec, espec: EmbedSpec):
+    L = len(spec.layer_dims)
+    flat = refs[:2 * L + 2]
+    gout_ref = refs[2 * L + 2]
+    dx_ref = refs[2 * L + 3]
+    daux_ref = refs[2 * L + 4]
+    dwb = refs[2 * L + 5:]
+
+    step = pl.program_id(0)
+
+    @pl.when(step == 0)
+    def _init():
+        for r in dwb:
+            r[:, :] = jnp.zeros_like(r)
+        if espec.aux_mode == "broadcast":
+            daux_ref[:, :] = jnp.zeros_like(daux_ref)
+
+    wbs = [(flat[2 * i][:, :], flat[2 * i + 1][:, :]) for i in range(L)]
+    wout = flat[2 * L][:, :]
+    bout = flat[2 * L + 1][:, :]
+    x = x_ref[:, :]
+    alpha = alpha_ref[0, 0]
+    ex, _, _, _ = _embed_build(x, espec, alpha)
+    full = _assemble_input(ex, aux_ref[:, :], espec)
+    d_full = _trunk_bwd_tile(full, wbs, wout, bout, gout_ref[:, :], dwb,
+                             spec)
+    A = espec.aux_width
+    if espec.aux_first:
+        g_aux = d_full[:, :A]
+        g_ex = d_full[:, A:]
+    else:
+        g_ex = d_full[:, :espec.ex_width]
+        g_aux = d_full[:, espec.ex_width:]
+    if espec.aux_mode == "broadcast":
+        daux_ref[:, :] += jnp.sum(g_aux, axis=0, keepdims=True)
+    else:
+        daux_ref[:, :] = g_aux
+    dx_ref[:, :] = _embed_bwd(x, g_ex, espec, alpha)
+
+
+@functools.lru_cache(maxsize=None)
+def _make_embed_fused(spec_key, espec_key, tile):
+    spec = _SpecFromKey(spec_key)
+    espec = EmbedSpec(*espec_key)
+    L = len(spec.layer_dims)
+    dlast = spec.layer_dims[-1][1]
+    A = espec.aux_width
+
+    def wb_specs():
+        specs = []
+        for (di, do) in spec.layer_dims:
+            specs.append(pl.BlockSpec((di, do), lambda i: (0, 0),
+                                      memory_space=pltpu.VMEM))
+            specs.append(pl.BlockSpec((1, do), lambda i: (0, 0),
+                                      memory_space=pltpu.VMEM))
+        specs.append(pl.BlockSpec((dlast, spec.out_dim), lambda i: (0, 0),
+                                  memory_space=pltpu.VMEM))
+        specs.append(pl.BlockSpec((1, spec.out_dim), lambda i: (0, 0),
+                                  memory_space=pltpu.VMEM))
+        return specs
+
+    x_spec = pl.BlockSpec((tile, 3), lambda i: (i, 0),
+                          memory_space=pltpu.VMEM)
+    if espec.aux_mode == "broadcast":
+        aux_spec = pl.BlockSpec((1, A), lambda i: (0, 0),
+                                memory_space=pltpu.VMEM)
+    else:
+        aux_spec = pl.BlockSpec((tile, A), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM)
+    alpha_spec = pl.BlockSpec((1, 1), lambda i: (0, 0),
+                              memory_space=pltpu.SMEM)
+
+    def prep(x, aux, alpha):
+        xp, n = _pad_rows(x.astype(jnp.float32), tile)
+        if espec.aux_mode == "broadcast":
+            auxp = aux.astype(jnp.float32).reshape(1, A)
+        else:
+            auxp, _ = _pad_rows(aux.astype(jnp.float32), tile)
+        al = jnp.asarray(alpha, jnp.float32).reshape(1, 1)
+        return xp, auxp, al, n
+
+    def run_fwd(x, aux, alpha, params):
+        xp, auxp, al, n = prep(x, aux, alpha)
+        grid = (xp.shape[0] // tile,)
+        out = pl.pallas_call(
+            functools.partial(_efwd_kernel, spec=spec, espec=espec),
+            grid=grid,
+            in_specs=[x_spec, aux_spec, alpha_spec] + wb_specs(),
+            out_specs=pl.BlockSpec((tile, spec.out_dim), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((xp.shape[0], spec.out_dim),
+                                           jnp.float32),
+            interpret=_interpret(),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 2**20),
+        )(xp, auxp, al, *params)
+        return out[:n]
+
+    def run_bwd(x, aux, alpha, params, gout):
+        xp, auxp, al, n = prep(x, aux, alpha)
+        gp, _ = _pad_rows(gout.astype(jnp.float32), tile)
+        grid = (xp.shape[0] // tile,)
+        dwb_specs, dwb_shapes = [], []
+        for (di, do) in list(spec.layer_dims) + [(dlast, spec.out_dim)]:
+            dwb_specs.append(pl.BlockSpec((di, do), lambda i: (0, 0),
+                                          memory_space=pltpu.VMEM))
+            dwb_shapes.append(jax.ShapeDtypeStruct((di, do), jnp.float32))
+            dwb_specs.append(pl.BlockSpec((1, do), lambda i: (0, 0),
+                                          memory_space=pltpu.VMEM))
+            dwb_shapes.append(jax.ShapeDtypeStruct((1, do), jnp.float32))
+        if espec.aux_mode == "broadcast":
+            daux_spec = pl.BlockSpec((1, A), lambda i: (0, 0),
+                                     memory_space=pltpu.VMEM)
+            daux_shape = jax.ShapeDtypeStruct((1, A), jnp.float32)
+        else:
+            daux_spec = pl.BlockSpec((tile, A), lambda i: (i, 0),
+                                     memory_space=pltpu.VMEM)
+            daux_shape = jax.ShapeDtypeStruct((xp.shape[0], A),
+                                              jnp.float32)
+        outs = pl.pallas_call(
+            functools.partial(_ebwd_kernel, spec=spec, espec=espec),
+            grid=grid,
+            in_specs=([x_spec, aux_spec, alpha_spec] + wb_specs()
+                      + [pl.BlockSpec((tile, spec.out_dim),
+                                      lambda i: (i, 0),
+                                      memory_space=pltpu.VMEM)]),
+            out_specs=([pl.BlockSpec((tile, 3), lambda i: (i, 0),
+                                     memory_space=pltpu.VMEM),
+                        daux_spec] + dwb_specs),
+            out_shape=([jax.ShapeDtypeStruct((xp.shape[0], 3),
+                                             jnp.float32),
+                        daux_shape] + dwb_shapes),
+            interpret=_interpret(),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 2**20),
+        )(xp, auxp, al, *params, gp)
+        dx = outs[0][:n]
+        daux = outs[1]
+        if espec.aux_mode == "broadcast":
+            daux = daux[0]
+        else:
+            daux = daux[:n]
+        dparams = []
+        for k, g in enumerate(outs[2:]):
+            if k % 2 == 1:  # bias [1, do] -> [do]
+                g = g[0]
+            dparams.append(g)
+        return dx, daux, tuple(dparams)
+
+    @jax.custom_vjp
+    def fused(x, aux, alpha, *params):
+        return run_fwd(x, aux, alpha, params)
+
+    def fwd(x, aux, alpha, *params):
+        return run_fwd(x, aux, alpha, params), (x, aux, alpha, params)
+
+    def bwd(res, gout):
+        x, aux, alpha, params = res
+        dx, daux, dparams = run_bwd(x, aux, alpha, params, gout)
+        dparams = tuple(dp.astype(p.dtype)
+                        for dp, p in zip(dparams, params))
+        dalpha = jnp.zeros_like(jnp.asarray(alpha, jnp.float32))
+        return (dx.astype(x.dtype), daux.astype(aux.dtype),
+                dalpha) + dparams
+
+    fused.defvjp(fwd, bwd)
+    return fused
+
+
+def fused_embed_trunk(x, aux, alpha,
+                      layer_params: Sequence[Tuple[jnp.ndarray,
+                                                   jnp.ndarray]],
+                      out_params: Tuple[jnp.ndarray, jnp.ndarray], *,
+                      kind: str, multires: int, aux_mode: str,
+                      aux_first: bool, skip_before: Optional[int],
+                      skip_source: str, precision: str = "bf16",
+                      tile: int = 1024) -> jnp.ndarray:
+    """Embed + trunk + head, fully fused. x [N, 3] raw points; aux =
+    state row [A] (broadcast) or condition codes [N, A] (stream); alpha =
+    hann anneal scalar (ignored for 'fourier').
+
+    layer_params in the flax orientation ([din, dout] kernels with the
+    ORIGINAL interleaved embed row order — this wrapper permutes the rows
+    of W0 and of the skip layer's W to the kernel's grouped layout; the
+    gather is differentiable so autodiff restores grad order for free).
+
+    skip_source: 'full_input' (CanonicalMLP re-concats [input, h]) or
+    'embed' (NonRigidMLP re-concats [h, pos_embed])."""
+    espec = EmbedSpec(kind, multires, int(aux.shape[-1]), aux_mode,
+                      aux_first)
+    ex_w = espec.ex_width
+    A = espec.aux_width
+    eperm = embed_row_perm(multires, espec.include_input)
+    if aux_first:
+        full_perm = np.concatenate([np.arange(A), A + eperm])
+    else:
+        full_perm = np.concatenate([eperm, ex_w + np.arange(A)])
+
+    params = []
+    layer_dims = []
+    for i, (w, b) in enumerate(layer_params):
+        if i == 0:
+            w = w[full_perm]
+        elif skip_before is not None and i == skip_before:
+            din = w.shape[0]
+            if skip_source == "full_input":
+                # rows = [full input (permuted), h]
+                rows = np.concatenate(
+                    [full_perm, np.arange(len(full_perm), din)])
+            else:
+                # rows = [h, embed (permuted)]
+                h_w = din - ex_w
+                rows = np.concatenate([np.arange(h_w), h_w + eperm])
+            w = w[rows]
+        params.extend((w, b.reshape(1, -1)))
+        layer_dims.append((int(w.shape[0]), int(w.shape[1])))
+    params.extend((out_params[0], out_params[1].reshape(1, -1)))
+
+    if skip_source == "full_input":
+        skip_order, skip_off, skip_width = "input_first", 0, ex_w + A
+    else:
+        skip_order = "h_first"
+        skip_off = A if aux_first else 0
+        skip_width = ex_w
+    spec_key = (tuple(layer_dims), skip_before, skip_order, skip_off,
+                skip_width, int(out_params[0].shape[1]), precision)
+    fused = _make_embed_fused(spec_key, espec.key(), tile)
+    if alpha is None:
+        alpha = 0.0
+    return fused(x, aux, alpha, *params)
 
 
 def fused_trunk(x, layer_params: Sequence[Tuple[jnp.ndarray, jnp.ndarray]],

@@ -257,6 +257,92 @@ def test_forward_warp_multi_dispatch(data):
         np.testing.assert_allclose(ws, ws_ref, atol=tol)
 
 
+def test_windowed_pairgrid_values_and_grads_match_dense(data_pg):
+    """The windowed pair-grid (x-window tap planes, exact by column
+    additivity) == the dense tile kernel, values and all gradients."""
+    pts, Rs, Ts, vol, bmin, bscale = data_pg
+    Bb, Gg = 26, 32
+    s, o = plbs._grid_affine(bmin, bscale, Gg)
+    rg = (Rs * s[None, :, None]).reshape(Bb, 9)
+    tg = Ts * s[None, :] + o[None, :]
+    vol_qz = jnp.transpose(vol[:Bb], (0, 3, 2, 1)).reshape(Bb, Gg * Gg, Gg)
+
+    acc_w = plbs.inverse_core_pgw(pts, rg, tg, vol_qz, "highest")
+    acc_d = plbs.inverse_core(pts, rg, tg, vol_qz, "highest")
+    scale = float(jnp.abs(acc_d).max())
+    np.testing.assert_allclose(np.asarray(acc_w) / scale,
+                               np.asarray(acc_d) / scale, atol=2e-6)
+
+    def loss(core, p, R, T, v):
+        a = core(p, R, T, v, "highest")
+        return jnp.sum(jnp.sin(a) * jnp.arange(a.size).reshape(a.shape))
+
+    g_w = jax.grad(lambda *a: loss(plbs.inverse_core_pgw, *a),
+                   argnums=(0, 1, 2, 3))(pts, rg, tg, vol_qz)
+    g_d = jax.grad(lambda *a: loss(plbs.inverse_core, *a),
+                   argnums=(0, 1, 2, 3))(pts, rg, tg, vol_qz)
+    for nm, a, b in zip(["dpts", "drg", "dtg", "dvol"], g_w, g_d):
+        sc = max(float(jnp.abs(b).max()), 1e-6)
+        np.testing.assert_allclose(np.asarray(a) / sc,
+                                   np.asarray(b) / sc,
+                                   atol=5e-5, err_msg=nm)
+
+
+def test_windowed_pairs_are_exact_cover(data_pg):
+    """Every alive (tile, bone) is covered by windows whose column
+    ranges are disjoint and contain all supported taps."""
+    pts, Rs, Ts, vol, bmin, bscale = data_pg
+    Bb, Gg = 26, 32
+    s, o = plbs._grid_affine(bmin, bscale, Gg)
+    rg = (Rs * s[None, :, None]).reshape(Bb, 9)
+    tg = Ts * s[None, :] + o[None, :]
+    NGB, BPD = plbs._pg_pad_shapes(Bb, Gg)
+    rgp = jnp.pad(rg, ((0, BPD - Bb), (0, 0)))
+    tgp = jnp.pad(tg, ((0, BPD - Bb), (0, 0)))
+    pts_p, n = plbs._pad_rows(pts, plbs.TILE_PG)
+    sup, f = plbs._sample_support(pts_p, rgp, tgp, Gg, return_f=True)
+    sup = sup & (jnp.arange(BPD) < Bb)[None, :]
+    sup = sup & (jnp.arange(pts_p.shape[0]) < n)[:, None]
+    perm, _ = plbs._sig_morton_perm(pts_p, sup)
+    x0 = jnp.clip(jnp.floor(f[..., 0]), -1, Gg).astype(jnp.int32)
+    pair_tile, wwin, pair_bone, n_pairs, n_total = \
+        plbs._build_window_pairs(sup[perm], x0[perm], Bb, BPD, Gg)
+    assert int(n_total) <= pair_tile.shape[0], "capacity overflow"
+    npairs = int(n_pairs)
+    W = plbs._win_w(Gg)
+    tiles = np.asarray(pair_tile)[:npairs]
+    words = np.asarray(wwin).reshape(-1, NGB // 2)[:npairs]
+    sup_s = np.asarray(sup[perm])
+    x0_s = np.asarray(x0[perm])
+    nt = pts_p.shape[0] // plbs.TILE_PG
+    # reconstruct per-(tile, bone) covered column sets
+    covered = {}
+    for p in range(npairs):
+        for j in range(NGB):
+            w = int(words[p, j // 2]) >> (16 * (j % 2))
+            b, xs = w & 0xFF, (w >> 8) & 0xFF
+            if b == BPD - 1:
+                continue
+            key = (int(tiles[p]), b)
+            rng = set(range(xs, xs + W))
+            assert covered.get(key, set()).isdisjoint(rng), key
+            covered.setdefault(key, set()).update(rng)
+    # every supported tap column must be covered
+    T = plbs.TILE_PG
+    for t in range(nt):
+        st = sup_s[t * T:(t + 1) * T]
+        xt = x0_s[t * T:(t + 1) * T]
+        for b in range(Bb):
+            rows = np.nonzero(st[:, b])[0]
+            if rows.size == 0:
+                continue
+            cols = covered[(t, b)]
+            for r in rows[:8]:
+                for tap in (xt[r, b], xt[r, b] + 1):
+                    if 0 <= tap < Gg:
+                        assert tap in cols, (t, b, tap)
+
+
 def test_pairgrid_grads_match_dense(data_pg):
     pts, Rs, Ts, vol, bmin, bscale = data_pg
 

@@ -54,12 +54,41 @@ def sh(args_list, log_path):
 
 
 def find_results(logdir):
+    """Load every results.json under logdir, normalized to ONE dict of
+    {metric: {split: value}} (+ optional top-level lpips_backbone).
+    Scene results are the reference-format LIST [psnr, ssim, lpips,
+    {lpips_backbone}?]; human results are already dicts."""
     hits = []
     for root, _, files in os.walk(logdir):
         if "results.json" in files:
             with open(os.path.join(root, "results.json")) as f:
-                hits.append((root, json.load(f)))
+                res = json.load(f)
+            hits.append((root, _normalize_results(res)))
     return hits
+
+
+def _normalize_results(res):
+    """-> {split: {metric: float}} + optional top-level lpips_backbone."""
+    if not isinstance(res, list):
+        return res
+    named = {}
+    if res and isinstance(res[0], dict) and "psnr" in res[0]:
+        # human full eval: [testimgs, allimgs] flat metric dicts
+        for tag, entry in zip(("testimgs", "allimgs"), res):
+            named[tag] = dict(entry)
+            bb = named[tag].pop("lpips_backbone", None)
+            if bb is not None:
+                named["lpips_backbone"] = bb
+    else:
+        # scene eval: [psnr_by_split, ssim_by_split, lpips_by_split,
+        # {lpips_backbone}?]
+        for metric, entry in zip(("psnr", "ssim", "lpips"), res):
+            for split, v in (entry or {}).items():
+                named.setdefault(split, {})[metric] = v
+        for entry in res[3:]:
+            if isinstance(entry, dict):
+                named.update(entry)
+    return named
 
 
 def main():
@@ -129,6 +158,9 @@ def main():
                 if not isinstance(vals, dict):
                     continue
                 for metric, v in vals.items():
+                    if not isinstance(v, (int, float)) or isinstance(
+                            v, bool):
+                        continue  # provenance strings / is_empty_img
                     rv = ref.get(stage, {}).get(split, {}).get(metric)
                     note = ""
                     if metric == "lpips" and backbone != "vgg16":
