@@ -145,7 +145,14 @@ def flow_loss(ray_grid, newsmpl_to_camera_prev, intrinsics_prev, weights,
         [deform_pts_prev, jnp.ones_like(deform_pts_prev[..., :1])], -1)
     cam = jnp.einsum("ji,rsi->rsj", newsmpl_to_camera_prev, hom)[..., :3]
     pix = jnp.einsum("ji,rsi->rsj", intrinsics_prev, cam)
-    pix2d = pix[..., :2] / pix[..., 2:3]
+    # clamp |z| away from 0: samples with ~zero forward-LBS support land
+    # at garbage positions (their wsum clamps at 1e-4) that can cross the
+    # camera plane; their compositing weight is ~0, but inf * 0 = NaN —
+    # so the division itself must stay finite
+    z = pix[..., 2:3]
+    zsafe = jnp.where(jnp.abs(z) < 1e-6,
+                      jnp.where(z < 0, -1e-6, 1e-6), z)
+    pix2d = pix[..., :2] / zsafe
 
     grid = jnp.broadcast_to(ray_grid[:, None, :],
                             (ray_grid.shape[0], pix2d.shape[1],

@@ -136,3 +136,32 @@ def test_per_model_remat_overrides():
     scene2, human2 = stage3.make_models(cfg2)
     assert scene2.remat == "all"
     assert human2.remat == "none"
+
+
+def test_flow_loss_finite_at_camera_plane():
+    """Garbage deform points (near-zero forward-LBS support) can project
+    with camera z ~ 0; their compositing weight is ~0 but inf * 0 = NaN —
+    flow_loss must clamp the division (regression: bench chain NaN at
+    specific z-jitter keys, round 4)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from hosnerf_tpu.train import stage2 as s2
+
+    R, S = 4, 8
+    rng = np.random.default_rng(0)
+    ray_grid = jnp.asarray(rng.normal(size=(R, 5)).astype(np.float32))
+    E = jnp.eye(4, dtype=jnp.float32)
+    K = jnp.eye(3, dtype=jnp.float32)
+    weights = jnp.zeros((R, S), jnp.float32)  # zero weight on bad pts
+    pts = rng.normal(size=(R, S, 3)).astype(np.float32)
+    pts[:, 0, 2] = 0.0          # exactly on the camera plane
+    pts[:, 1, 2] = 1e-9         # epsilon in front
+    pts[:, 2, 2] = -1e-9        # epsilon behind
+    pts = jnp.asarray(pts)
+
+    val = s2.flow_loss(ray_grid, E, K, weights, pts)
+    assert np.isfinite(float(val))
+    g = jax.grad(lambda p: s2.flow_loss(ray_grid, E, K, weights, p))(pts)
+    assert np.isfinite(np.asarray(g)).all()

@@ -64,11 +64,15 @@ def main():
     for i in range(WARMUP, WARMUP + ITERS):
         loss = step(params, opt_state, batch, loss,
                     jnp.float32(100.0 + i), keys[i])
-    force_value(loss)
+    lv = force_value(loss)
     dt = (time.perf_counter() - t0) / ITERS
     rays = N_PATCHES * 32 * 32
+    import math
+    flag = "" if math.isfinite(lv) else "  ** NON-FINITE LOSS **"
     print(f"n_patches={N_PATCHES} split={SPLIT[0]}:{SPLIT[1]}  "
-          f"{dt * 1e3:8.2f} ms/step  {rays / dt:9.1f} rays/s", flush=True)
+          f"{dt * 1e3:8.2f} ms/step  {rays / dt:9.1f} rays/s{flag}",
+          flush=True)
+    assert math.isfinite(lv), "non-finite training loss in timed chain"
 
 
 if __name__ == "__main__":
