@@ -92,17 +92,49 @@ ITERS = 20
 BF16_PEAK_TFLOPS = 197.0
 
 
+# Executed (sample, bone) pair density of the pair-grid inverse-LBS
+# kernel on production-shaped batches (tools/pg_density_study.py; the
+# kernel only runs alive pairs, so its FLOPs scale with this).
+PG_EXEC_DENSITY = 0.395
+
+
+def pallas_flops_per_step(cfg) -> float:
+    """Analytic per-step FLOPs of the Pallas custom kernels, which XLA's
+    cost_analysis() CANNOT see (VERDICT r4 #3 — r4's headline MFU
+    undercounted by omitting these). Dominant matmuls only.
+
+    Factors: the fused embed+trunk MLP kernels (ops/pallas/mlp.py) and
+    both LBS kernels (ops/pallas/lbs.py) keep no residuals and recompute
+    the forward inside the backward, so fwd+bwd executes ~4x the forward
+    matmul work (fwd + recompute + dW + dx); the pair-grid inverse
+    backward runs 4 tap-plane matmuls (zc, m2, m3, dvol) per recomputed
+    forward -> 5x."""
+    rays = cfg.n_patches * cfg.patch_size ** 2
+    n = rays * cfg.n_samples
+    g = cfg.mweight_volume_size
+    b = cfg.total_bones
+    # fused embed+trunk MLPs (exact layer dims incl. skip concats):
+    # CanonicalMLP 8x256 (in 127, skip 383 at L5, head 4) over N samples;
+    # NonRigidMLP 6x128 (in 111, skip 164 at L4, head 3) over 3N samples
+    # (inverse branch N + the 2N concatenated cycle/flow forward pass)
+    cnl_mac = 127 * 256 + 6 * 256 * 256 + 383 * 256 + 256 * 4
+    nr_mac = 111 * 128 + 4 * 128 * 128 + 164 * 128 + 128 * 3
+    mlps = 4 * 2.0 * (n * cnl_mac + 3 * n * nr_mac)
+    # inverse LBS (pair-grid): executed pairs x [1, G^2] @ [G^2, G]
+    inv = 5 * PG_EXEC_DENSITY * n * b * (g * g * g) * 2.0
+    # forward LBS (shared_blend): [1, G^2] @ [G^2, B*G] per sample
+    fwd_lbs = 4 * n * (g * g * b * g) * 2.0
+    return mlps + inv + fwd_lbs
+
+
 def analytic_flops_per_step(cfg) -> float:
-    """Fallback model-FLOP estimate (fwd matmuls, x4 for bwd + remat
-    re-forward), counting only the dominant MLP/LBS matmuls."""
+    """Full-analytic fallback (XLA-visible scene stack + Pallas kernels)
+    when cost_analysis is unavailable. Scene = fwd + 2x bwd (no remat at
+    the 2-patch point), dominant matmuls only."""
     rays = cfg.n_patches * cfg.patch_size ** 2
     prop = 2 * rays * 64 * (4 * 256 * 256 + 2 * 256 * 80) * 2
     nerf = rays * 32 * (8 * 1024 * 1024 + 2 * 1024 * 80) * 2
-    hsamp = rays * cfg.n_samples
-    cnl = hsamp * (8 * 256 * 256 + 256 * 135) * 2
-    nr = 2 * hsamp * (6 * 128 * 128 + 128 * 200) * 2
-    lbs = 3 * hsamp * 26 * (4 * 32 * 32) * 2
-    return 4.0 * (prop + nerf + cnl + nr + lbs)
+    return 3.0 * (prop + nerf) + pallas_flops_per_step(cfg)
 
 
 def _require_live_backend(timeout_s: int = 180) -> None:
@@ -172,18 +204,27 @@ def main():
     import math
     assert math.isfinite(lv), "non-finite training loss"
 
-    flops = None
+    # FLOPs accounting (VERDICT r4 #3): the step's MLP trunks + LBS run
+    # inside Pallas custom calls whose FLOPs XLA cost_analysis cannot
+    # see, so the PRIMARY count is cost_analysis (XLA-visible work) +
+    # the analytic Pallas-kernel count; full-analytic is the fallback.
+    # cost_analysis alone is carried as a secondary field for r3/r4
+    # comparability (restatement note in BASELINE.md).
+    xla_flops = None
     try:
         cost = step.lower(params, opt_state, batch, loss,
                           jnp.float32(100.0), keys[0]).compile(
                               ).cost_analysis()
         if cost:
             c = cost[0] if isinstance(cost, (list, tuple)) else cost
-            flops = float(c.get("flops", 0.0)) or None
+            xla_flops = float(c.get("flops", 0.0)) or None
     except Exception:
-        flops = None
-    flops_src = "xla_cost_analysis"
-    if not flops:
+        xla_flops = None
+    pallas_flops = pallas_flops_per_step(cfg)
+    if xla_flops:
+        flops = xla_flops + pallas_flops
+        flops_src = "xla_cost_analysis+pallas_analytic"
+    else:
         flops, flops_src = analytic_flops_per_step(cfg), "analytic"
 
     implied_tflops = flops / sec_per_step / 1e12
@@ -258,7 +299,8 @@ def main():
                         - getattr(mem8, "alias_size_in_bytes", 0)) / 2**30
         except Exception:
             flops8 = None
-        implied8 = (flops8 or flops * 4.0) / big_sec / 1e12
+        implied8 = ((flops8 + pallas_flops_per_step(cfg8)) if flops8
+                    else flops * 4.0) / big_sec / 1e12
         assert implied8 <= BF16_PEAK_TFLOPS * 1.05
     except Exception as e:  # secondary point only — report, don't fail
         import sys
@@ -284,6 +326,9 @@ def main():
         "sec_per_step": round(sec_per_step, 5),
         "model_tflops_per_step": round(flops / 1e12, 4),
         "flops_source": flops_src,
+        "model_tflops_xla_only": (round(xla_flops / 1e12, 4)
+                                  if xla_flops else None),
+        "model_tflops_pallas": round(pallas_flops / 1e12, 4),
         "implied_tflops": round(implied_tflops, 2),
         "mfu_vs_bf16_peak": round(mfu, 4),
         "baseline_basis": {

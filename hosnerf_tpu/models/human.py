@@ -335,6 +335,9 @@ class HumanObjectField(nn.Module):
                     self.non_rigid_forward_mlp, "non_rigid_forward_mlp",
                     deform_both, cond_both, alpha)
             outputs["observe_pts"] = pts_flat
+            # canonical-space forward-warp INPUTS (for offline support
+            # studies; dead-code-eliminated inside the jitted train step)
+            outputs["cnl_pts"] = cnl_pts
             outputs["deform_pts_final"] = deform_both[:n]
             outputs["cycle_mask"] = (
                 fg_mask[:, 0] > 0.005).astype(raw.dtype)

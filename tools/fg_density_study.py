@@ -46,7 +46,6 @@ from hosnerf_tpu.data import synthetic
 from hosnerf_tpu.train import stage3
 
 N_PATCHES = int(sys.argv[1]) if len(sys.argv) > 1 else 2
-S = 128
 G = 32
 B = 26
 EPS = 1e-5
@@ -79,8 +78,7 @@ def main():
     tg = (m_T - mn[None]) * scale[None]
     pts = np.asarray(out["newsmpl_pts"]).reshape(-1, 3)
     R = rg.reshape(B, 3, 3)
-    f = jnp.einsum("nk,bck->nbc", jnp.asarray(pts), R) + tg[:, None].transpose(1, 0, 2)[0][None] if False else (
-        jnp.einsum("nk,bck->nbc", jnp.asarray(pts), R) + tg[None])
+    f = jnp.einsum("nk,bck->nbc", jnp.asarray(pts), R) + tg[None]
     sup = np.asarray(jnp.all((f > -1.0 - EPS) & (f < G + EPS), axis=-1))
     inv_alive = sup.any(axis=1)
     print(f"inv_alive (any bone)    {inv_alive.mean():.3f}")
@@ -89,22 +87,24 @@ def main():
     # tile-level liveness under a (liveness, morton) sort at TILE sizes
     from hosnerf_tpu.ops.pallas import lbs as plbs
     n = pts.shape[0]
-    n_pad = -(-n // plbs.TILE_PG) * plbs.TILE_PG
+    T_MAX = 256  # pad to the largest tile studied so no tail is dropped
+    n_pad = -(-n // max(plbs.TILE_PG, T_MAX)) * max(plbs.TILE_PG, T_MAX)
     pts_p = np.zeros((n_pad, 3), np.float32)
     pts_p[:n] = pts
     sup_p = np.zeros((n_pad, B), bool)
     sup_p[:n] = sup
     perm, _ = plbs._support_sort_perm(jnp.asarray(sup_p))
-    alive_s = inv_alive_pad = np.zeros(n_pad, bool)
     inv_alive_pad = np.zeros(n_pad, bool)
     inv_alive_pad[:n] = inv_alive
     alive_sorted = inv_alive_pad[np.asarray(perm)]
-    for T in (64, 128, 256):
-        tiles = alive_sorted[: (n_pad // T) * T].reshape(-1, T)
+    for T in (64, 128, T_MAX):
+        tiles = alive_sorted.reshape(-1, T)
         print(f"tile_alive @T={T:<4d}      {tiles.any(axis=1).mean():.3f}")
 
-    # cnl-space support of the forward warp inputs (shared taps, 1 'bone')
-    cnl = np.asarray(out["deform_pts_final"])  # post-MLP; close enough
+    # cnl-space support of the forward warp INPUTS (cnl_pts: the points
+    # fed to forward_warp_multi, i.e. where the shared-tap weight volume
+    # is actually sampled in the forward branch)
+    cnl = np.asarray(out["cnl_pts"])
     fwd_f = (cnl - np.asarray(mn)[None]) * np.asarray(scale)[None]
     fwd_in = ((fwd_f > -1 - EPS) & (fwd_f < G + EPS)).all(axis=1)
     print(f"fwd in-grid             {fwd_in.mean():.3f}")
