@@ -96,6 +96,11 @@ BF16_PEAK_TFLOPS = 197.0
 # kernel on production-shaped batches (tools/pg_density_study.py; the
 # kernel only runs alive pairs, so its FLOPs scale with this).
 PG_EXEC_DENSITY = 0.395
+# Live-suffix fraction: the liveness-sorted human pipeline (round 5)
+# runs the non-rigid/canonical MLPs and the forward LBS only on the
+# ~45% of samples with any bone support (tools/fg_density_study.py
+# tile_alive; dead prefix skipped by traced grid offsets).
+LIVE_FRACTION = 0.46
 
 
 def pallas_flops_per_step(cfg) -> float:
@@ -119,11 +124,11 @@ def pallas_flops_per_step(cfg) -> float:
     # (inverse branch N + the 2N concatenated cycle/flow forward pass)
     cnl_mac = 127 * 256 + 6 * 256 * 256 + 383 * 256 + 256 * 4
     nr_mac = 111 * 128 + 4 * 128 * 128 + 164 * 128 + 128 * 3
-    mlps = 4 * 2.0 * (n * cnl_mac + 3 * n * nr_mac)
+    mlps = 4 * 2.0 * LIVE_FRACTION * (n * cnl_mac + 3 * n * nr_mac)
     # inverse LBS (pair-grid): executed pairs x [1, G^2] @ [G^2, G]
     inv = 5 * PG_EXEC_DENSITY * n * b * (g * g * g) * 2.0
-    # forward LBS (shared_blend): [1, G^2] @ [G^2, B*G] per sample
-    fwd_lbs = 4 * n * (g * g * b * g) * 2.0
+    # forward LBS (shared_blend): [1, G^2] @ [G^2, B*G] per live sample
+    fwd_lbs = 4 * LIVE_FRACTION * n * (g * g * b * g) * 2.0
     return mlps + inv + fwd_lbs
 
 

@@ -142,6 +142,35 @@ class HumanObjectField(nn.Module):
                 >= self.nr_kick_in_iter).astype(posevec.dtype)
         return posevec * gate
 
+    def _sparse_ok(self, motion_weights_vol) -> bool:
+        """Liveness-sorted live-suffix path: requires BOTH the fused MLP
+        kernels and the Pallas pair-grid LBS (the sort/skip machinery
+        lives there). HOSNERF_SPARSE=0 forces the dense path."""
+        import os
+        if os.environ.get("HOSNERF_SPARSE", "1") == "0":
+            return False
+        if not self._use_fused_mlp():
+            return False
+        from hosnerf_tpu.ops import lbs as lbs_ops
+        return lbs_ops.resolve_impl(
+            self.lbs_impl, motion_weights_vol) == "pallas"
+
+    def _prev_transforms(self, batch, iter_val):
+        """Previous-frame pose refine + forward motion bases + non-rigid
+        condition (the flow branch's transform set;
+        ref: network.py:472-501)."""
+        dst_Rs_prev, dst_Ts_prev = self._refine_pose(
+            batch["dst_Rs_prev"], batch["dst_Ts_prev"],
+            batch["dst_posevec_prev"][:self.pose_embedding_size],
+            iter_val)
+        _, _, p_sR_fwd, p_T_fwd = body_math.motion_bases(
+            dst_Rs_prev, dst_Ts_prev, batch["cnl_gtfms"])
+        cond_prev = self._nr_condition(
+            batch["dst_posevec_prev"][None,
+                                      :self.nr_condition_code_size],
+            iter_val)
+        return p_sR_fwd, p_T_fwd, cond_prev
+
     def _chunked(self, module, *args):
         """Apply a per-sample module over `mlp_chunk`-sized slices of the
         flat sample axis (static unrolled loop; with remat each chunk's
@@ -191,9 +220,12 @@ class HumanObjectField(nn.Module):
                p["output"]["Dense_0"]["bias"])
         return layers, out
 
-    def _nr_apply(self, module, name: str, pts, cond, alpha):
+    def _nr_apply(self, module, name: str, pts, cond, alpha, k0=None):
         """Non-rigid offset MLP on raw points: hannw PE + trunk + offset,
-        fused on TPU. cond [N, C] per-sample. Returns pts + offsets."""
+        fused on TPU. cond [N, C] per-sample. Returns pts + offsets.
+        k0: optional first-live-block offset (live-suffix skipping; only
+        valid on the fused path — rows below k0*1024 come back garbage
+        and must be masked by the caller)."""
         if self._use_fused_mlp():
             from hosnerf_tpu.ops.pallas import mlp as pmlp
             layers, out = self._fused_params(name, self.nr_mlp_depth)
@@ -201,12 +233,14 @@ class HumanObjectField(nn.Module):
                 pts, cond, alpha, layers, out, kind="hannw",
                 multires=self.nr_multires, aux_mode="stream",
                 aux_first=True, skip_before=self.nr_skips[0],
-                skip_source="embed", precision=self._mlp_prec())
+                skip_source="embed", precision=self._mlp_prec(),
+                k0_blocks=k0)
             return pts + trans
+        assert k0 is None, "live-suffix k0 requires the fused MLP path"
         embed = embedders.hannw_fourier_embed(pts, self.nr_multires, alpha)
         return self._chunked(module, embed, pts, cond)["xyz"]
 
-    def _canonical_raw(self, cnl_pts, state_idx):
+    def _canonical_raw(self, cnl_pts, state_idx, k0=None):
         """PE + state embedding -> canonical MLP raw rgb+sigma
         (ref: network.py:174-251)."""
         embed = self.state_embeds[state_idx]
@@ -217,12 +251,190 @@ class HumanObjectField(nn.Module):
                 cnl_pts, embed, None, layers, out, kind="fourier",
                 multires=self.cnl_multires, aux_mode="broadcast",
                 aux_first=False, skip_before=5,
-                skip_source="full_input", precision=self._mlp_prec())
+                skip_source="full_input", precision=self._mlp_prec(),
+                k0_blocks=k0)
+        assert k0 is None, "live-suffix k0 requires the fused MLP path"
         xyz_embedded = embedders.fourier_embed(cnl_pts, self.cnl_multires)
         embed = jnp.broadcast_to(
             embed, xyz_embedded.shape[:-1] + (embed.shape[-1],))
         return self._chunked(
             self.cnl_mlp, jnp.concatenate([xyz_embedded, embed], axis=-1))
+
+    # ------------------------------------------------------------------
+    def _samples_dense(self, batch, pts_flat, m_sR, m_T, m_sR_fwd,
+                       m_T_fwd, motion_weights_vol, cond, alpha,
+                       state_idx, iter_val, is_train, R, S):
+        """Dense per-sample pipeline: every sample through every stage
+        (the reference's math with masks instead of boolean gathers).
+        Returns (raw [R,S,4], fg_mask [N,1], train-branch outputs)."""
+        from hosnerf_tpu.ops import lbs as lbs_ops
+        x_skel, fg_mask = lbs_ops.inverse_warp(
+            pts_flat, m_sR, m_T, motion_weights_vol,
+            batch["cnl_bbox_min_xyz"], batch["cnl_bbox_scale_xyz"],
+            impl=self.lbs_impl)
+
+        if not self.ignore_non_rigid_motions:
+            cnl_pts = self._nr_apply(
+                self.non_rigid_mlp, "non_rigid_mlp", x_skel,
+                jnp.broadcast_to(cond, (x_skel.shape[0], cond.shape[-1])),
+                alpha)
+        else:
+            cnl_pts = x_skel
+
+        raw = self._canonical_raw(cnl_pts, state_idx).reshape(R, S, 4)
+
+        outputs: Dict[str, Any] = {}
+        # ---- cycle-consistency branch (ref: network.py:503-535),
+        # computed for ALL samples with a mask instead of boolean
+        # gathering ----
+        if is_train:
+            # Both forward branches (cycle + prev-frame flow) sample the
+            # weight volume at the SAME canonical points — sample ONCE,
+            # blend BOTH transform sets (one fused Pallas kernel on TPU:
+            # the [N, B] weights never leave VMEM), and run ONE 2N-sample
+            # non_rigid_forward_mlp pass over the concatenated deform
+            # streams (vs the reference's two full
+            # _sample_motion_fields_forward + non_rigid_forward_mlp
+            # passes, network.py:472-535; identical math — the module is
+            # per-sample, so grads through the concatenated call equal
+            # the sum over two separate calls).
+            p_sR_fwd, p_T_fwd, cond_prev = self._prev_transforms(
+                batch, iter_val)
+            deform_both, _ = lbs_ops.forward_warp_multi(
+                cnl_pts,
+                jnp.stack([m_sR_fwd, p_sR_fwd]),
+                jnp.stack([m_T_fwd, p_T_fwd]),
+                motion_weights_vol, batch["cnl_bbox_min_xyz"],
+                batch["cnl_bbox_scale_xyz"],
+                impl=self.lbs_impl)                      # [2, N, 3]
+            n = cnl_pts.shape[0]
+            deform_both = deform_both.reshape(2 * n, 3)
+            if not self.ignore_non_rigid_motions:
+                cond_both = jnp.concatenate([
+                    jnp.broadcast_to(cond, (n, cond.shape[-1])),
+                    jnp.broadcast_to(cond_prev,
+                                     (n, cond_prev.shape[-1]))],
+                    axis=0)
+                deform_both = self._nr_apply(
+                    self.non_rigid_forward_mlp, "non_rigid_forward_mlp",
+                    deform_both, cond_both, alpha)
+            outputs["observe_pts"] = pts_flat
+            # canonical-space forward-warp INPUTS (for offline support
+            # studies; dead-code-eliminated inside the jitted step)
+            outputs["cnl_pts"] = cnl_pts
+            outputs["deform_pts_final"] = deform_both[:n]
+            outputs["cycle_mask"] = (
+                fg_mask[:, 0] > 0.005).astype(raw.dtype)
+            # ---- scene-flow branch to the previous frame
+            # (ref: network.py:472-501,607-644) ----
+            outputs["deform_pts_prev_final"] = deform_both[n:].reshape(
+                R, S, 3)
+        return raw, fg_mask, outputs
+
+    def _samples_sorted(self, batch, pts_flat, m_sR, m_T, m_sR_fwd,
+                        m_T_fwd, motion_weights_vol, cond, alpha,
+                        state_idx, iter_val, is_train, R, S):
+        """Liveness-sorted per-sample pipeline (the TPU production
+        path). `ops/pallas/lbs.bp_prepare`'s signature sort puts every
+        zero-support sample in a contiguous PREFIX of the sorted array;
+        the inverse kernel visits those tiles once (exact zeros) and
+        the non-rigid MLP, canonical MLP, forward LBS and forward
+        non-rigid MLP all skip the dead prefix with traced block
+        offsets (~55% of samples on production batches,
+        tools/fg_density_study.py). EXACT vs `_samples_dense`: dead
+        samples are masked out of every consumer (raw * pts_mask in
+        compositing, cycle_mask / human_weights in the losses — the
+        same masking the reference implements with boolean indexing,
+        ref network.py:503-535), so their skipped values and their
+        zero cotangents change nothing; the skipped kernels' unwritten
+        rows are zeroed here (jnp.where on the exact group-aligned
+        boundary) before they can reach a loss.
+        Returns (raw [R,S,4], fg_mask [N,1], train-branch outputs)."""
+        from hosnerf_tpu.ops.pallas import lbs as plbs
+        B = self.total_bones
+        G = self.mweight_volume_size
+        bmin = batch["cnl_bbox_min_xyz"]
+        bscale = batch["cnl_bbox_scale_xyz"]
+        s_, o_ = plbs._grid_affine(bmin, bscale, G)
+        rg = (m_sR * s_[None, :, None]).reshape(B, 9)
+        tg = m_T * s_[None, :] + o_[None, :]
+        vol_qz = jnp.transpose(
+            motion_weights_vol[:B], (0, 3, 2, 1)).reshape(B, G * G, G)
+
+        dom = plbs.bp_prepare(pts_flat, rg, tg, G, B, kind="quad")
+        pts_s = dom.sort_rows(pts_flat.astype(jnp.float32))
+        n_pad = pts_s.shape[0]
+        acc_s = plbs.inverse_core_pg_s(pts_s, rg, tg, vol_qz,
+                                       *dom.tables)
+        wsum_s = acc_s[:, 3:4]
+        m = jnp.maximum(wsum_s, 1e-4)
+        x_skel_s = (acc_s[:, :3] / m
+                    - o_[None, :] * (wsum_s / m)) / s_[None, :]
+
+        live = dom.live_row_mask() > 0     # [n_pad, 1] exact boundary
+
+        def grad_gate(x):
+            """Identity on values; zeroes DEAD-row cotangents exactly.
+            Downstream kernels leave their skipped rows' dx outputs
+            unwritten (garbage, possibly NaN); without this gate that
+            garbage would flow back across stage boundaries. Dead rows
+            carry zero cotangents in exact math, so this changes
+            nothing else."""
+            return jnp.where(live, x, jax.lax.stop_gradient(x))
+
+        # ONE skip boundary for every downstream kernel (the fused-MLP
+        # 1024 tile is the coarsest): rows in a finer kernel's grid but
+        # below a coarser one's would otherwise consume unwritten
+        # garbage.
+        k0_mlp = dom.k0_for(1024)          # fused MLP kernels' tile
+        if not self.ignore_non_rigid_motions:
+            cnl_pts_s = self._nr_apply(
+                self.non_rigid_mlp, "non_rigid_mlp",
+                grad_gate(x_skel_s),
+                jnp.broadcast_to(cond, (n_pad, cond.shape[-1])),
+                alpha, k0=k0_mlp)
+        else:
+            cnl_pts_s = x_skel_s
+        cnl_pts_s = grad_gate(cnl_pts_s)
+
+        raw_s = self._canonical_raw(cnl_pts_s, state_idx, k0=k0_mlp)
+        raw_s = jnp.where(live, raw_s, 0.0)
+        raw = dom.unsort(raw_s).reshape(R, S, 4)
+        fg_mask = dom.unsort(wsum_s)       # exact everywhere
+
+        outputs: Dict[str, Any] = {}
+        if is_train:
+            p_sR_fwd, p_T_fwd, cond_prev = self._prev_transforms(
+                batch, iter_val)
+            deform_s, _ = plbs.forward_lbs_multi(
+                cnl_pts_s,
+                jnp.stack([m_sR_fwd, p_sR_fwd]),
+                jnp.stack([m_T_fwd, p_T_fwd]),
+                motion_weights_vol, bmin, bscale,
+                k0_blocks=k0_mlp * (1024 // plbs.TILE_SH))  # aligned
+            d0, d1 = grad_gate(deform_s[0]), grad_gate(deform_s[1])
+            if not self.ignore_non_rigid_motions:
+                d0 = self._nr_apply(
+                    self.non_rigid_forward_mlp, "non_rigid_forward_mlp",
+                    d0, jnp.broadcast_to(cond, (n_pad, cond.shape[-1])),
+                    alpha, k0=k0_mlp)
+                d1 = self._nr_apply(
+                    self.non_rigid_forward_mlp, "non_rigid_forward_mlp",
+                    d1,
+                    jnp.broadcast_to(cond_prev,
+                                     (n_pad, cond_prev.shape[-1])),
+                    alpha, k0=k0_mlp)
+            d0 = jnp.where(live, d0, 0.0)
+            d1 = jnp.where(live, d1, 0.0)
+            outputs["observe_pts"] = pts_flat
+            outputs["cnl_pts"] = dom.unsort(
+                jnp.where(live, cnl_pts_s, 0.0))
+            outputs["deform_pts_final"] = dom.unsort(d0)
+            outputs["cycle_mask"] = (
+                fg_mask[:, 0] > 0.005).astype(raw.dtype)
+            outputs["deform_pts_prev_final"] = dom.unsort(d1).reshape(
+                R, S, 3)
+        return raw, fg_mask, outputs
 
     # ------------------------------------------------------------------
     def __call__(self, batch: Dict[str, Any], iter_val, state_idx,
@@ -273,78 +485,19 @@ class HumanObjectField(nn.Module):
                + batch["rays_d"][:, None, :] * z_vals[..., None])  # [R,S,3]
         pts_flat = pts.reshape(-1, 3)
 
-        # ---- inverse LBS to canonical space ----
-        from hosnerf_tpu.ops import lbs as lbs_ops
-        x_skel, fg_mask = lbs_ops.inverse_warp(
-            pts_flat, m_sR, m_T, motion_weights_vol,
-            batch["cnl_bbox_min_xyz"], batch["cnl_bbox_scale_xyz"],
-            impl=self.lbs_impl)
-        pts_mask = fg_mask.reshape(R, S, 1)
-
-        # ---- non-rigid offset + canonical MLP ----
-        if not self.ignore_non_rigid_motions:
-            cnl_pts = self._nr_apply(
-                self.non_rigid_mlp, "non_rigid_mlp", x_skel,
-                jnp.broadcast_to(cond, (x_skel.shape[0], cond.shape[-1])),
-                alpha)
+        # ---- per-sample pipeline: inverse LBS -> non-rigid -> canonical
+        # MLP (+ the cycle/flow forward branches when training) ----
+        if self._sparse_ok(motion_weights_vol):
+            raw, fg_mask, outputs = self._samples_sorted(
+                batch, pts_flat, m_sR, m_T, m_sR_fwd, m_T_fwd,
+                motion_weights_vol, cond, alpha, state_idx, iter_val,
+                is_train, R, S)
         else:
-            cnl_pts = x_skel
-
-        raw = self._canonical_raw(cnl_pts, state_idx).reshape(R, S, 4)
-
-        outputs: Dict[str, Any] = {}
-
-        # ---- cycle-consistency branch (ref: network.py:503-535), computed
-        # for ALL samples with a mask instead of boolean gathering ----
-        if is_train:
-            # Both forward branches (cycle + prev-frame flow) sample the
-            # weight volume at the SAME canonical points — sample ONCE,
-            # blend BOTH transform sets (one fused Pallas kernel on TPU:
-            # the [N, B] weights never leave VMEM), and run ONE 2N-sample
-            # non_rigid_forward_mlp pass over the concatenated deform
-            # streams (vs the reference's two full
-            # _sample_motion_fields_forward + non_rigid_forward_mlp
-            # passes, network.py:472-535; identical math — the module is
-            # per-sample, so grads through the concatenated call equal
-            # the sum over two separate calls).
-            dst_Rs_prev, dst_Ts_prev = self._refine_pose(
-                batch["dst_Rs_prev"], batch["dst_Ts_prev"],
-                batch["dst_posevec_prev"][:self.pose_embedding_size],
-                iter_val)
-            _, _, p_sR_fwd, p_T_fwd = body_math.motion_bases(
-                dst_Rs_prev, dst_Ts_prev, batch["cnl_gtfms"])
-            cond_prev = self._nr_condition(
-                batch["dst_posevec_prev"][None,
-                                          :self.nr_condition_code_size],
-                iter_val)
-            deform_both, _ = lbs_ops.forward_warp_multi(
-                cnl_pts,
-                jnp.stack([m_sR_fwd, p_sR_fwd]),
-                jnp.stack([m_T_fwd, p_T_fwd]),
-                motion_weights_vol, batch["cnl_bbox_min_xyz"],
-                batch["cnl_bbox_scale_xyz"],
-                impl=self.lbs_impl)                      # [2, N, 3]
-            n = cnl_pts.shape[0]
-            deform_both = deform_both.reshape(2 * n, 3)
-            if not self.ignore_non_rigid_motions:
-                cond_both = jnp.concatenate([
-                    jnp.broadcast_to(cond, (n, cond.shape[-1])),
-                    jnp.broadcast_to(cond_prev, (n, cond_prev.shape[-1]))],
-                    axis=0)
-                deform_both = self._nr_apply(
-                    self.non_rigid_forward_mlp, "non_rigid_forward_mlp",
-                    deform_both, cond_both, alpha)
-            outputs["observe_pts"] = pts_flat
-            # canonical-space forward-warp INPUTS (for offline support
-            # studies; dead-code-eliminated inside the jitted train step)
-            outputs["cnl_pts"] = cnl_pts
-            outputs["deform_pts_final"] = deform_both[:n]
-            outputs["cycle_mask"] = (
-                fg_mask[:, 0] > 0.005).astype(raw.dtype)
-            # ---- scene-flow branch to the previous frame
-            # (ref: network.py:472-501,607-644) ----
-            outputs["deform_pts_prev_final"] = deform_both[n:].reshape(
-                R, S, 3)
+            raw, fg_mask, outputs = self._samples_dense(
+                batch, pts_flat, m_sR, m_T, m_sR_fwd, m_T_fwd,
+                motion_weights_vol, cond, alpha, state_idx, iter_val,
+                is_train, R, S)
+        pts_mask = fg_mask.reshape(R, S, 1)
 
         # ---- compositing (ref: network.py:273-299,537-538) ----
         rgb_map, acc_map, weights, depth_map = render.raw2outputs(

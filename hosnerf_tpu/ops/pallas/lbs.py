@@ -945,12 +945,86 @@ def _pg_pad_shapes(B: int, G: int):
     return NGB, BPD
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
 def inverse_core_pg(pts_g, rg, tg, vol_qz, prec="bf16"):
     """Pair-grid inverse-LBS accumulation — same contract and (up to f32
     summation order) same values as `inverse_core`, at ~the in-support
-    pair density of the work."""
+    pair density of the work. Autodiff flows through the sort gather +
+    the sorted-core custom VJP."""
+    B, QQ, G = vol_qz.shape
+    if PG_SORT == "sig":
+        dom = bp_prepare(pts_g, rg, tg, G, B, kind="quad")
+        pts_s = dom.sort_rows(pts_g.astype(jnp.float32))
+        acc_s = inverse_core_pg_s(pts_s, rg, tg, vol_qz, *dom.tables,
+                                  prec)
+        return dom.unsort(acc_s)
+    return _pg_legacy(pts_g, rg, tg, vol_qz, prec)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def _pg_legacy(pts_g, rg, tg, vol_qz, prec="bf16"):
+    """Round-3 'morton' ordering path (AABB pair build inside the VJP)."""
     return _pg_fwd(pts_g, rg, tg, vol_qz, prec)[0]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7,))
+def inverse_core_pg_s(pts_s, rg, tg, vol_qz, pair_tile, pair_bone,
+                      n_pairs, prec="bf16"):
+    """Sorted-domain quad pair-grid core: pts_s [n_pad, 3] liveness-
+    sorted (bp_prepare kind='quad'); tables are the compacted quad pair
+    lists. Returns acc_s [n_pad, 4] in the SORTED domain (dead rows
+    exact zeros — quad 0 of every tile is forced alive)."""
+    return _pg_s_fwd(pts_s, rg, tg, vol_qz, pair_tile, pair_bone,
+                     n_pairs, prec)[0]
+
+
+def _pg_s_fwd(pts_s, rg, tg, vol_qz, pair_tile, pair_bone, n_pairs,
+              prec):
+    B, QQ, G = vol_qz.shape
+    assert QQ == G * G, "inverse_core_pg needs cubic volumes"
+    NGB, BPD = _pg_pad_shapes(B, G)
+    rgp = jnp.pad(rg.astype(jnp.float32), ((0, BPD - B), (0, 0)))
+    tgp = jnp.pad(tg.astype(jnp.float32), ((0, BPD - B), (0, 0)))
+    coef = _pg_coef(rgp, tgp)
+    dt = jnp.bfloat16 if prec == "bf16" else jnp.float32
+    vol = _pg_vol(vol_qz, BPD, dt)
+
+    kern = functools.partial(_pg_fwd_kernel, G=G, prec=prec)
+    acc_s = pl.pallas_call(
+        kern,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(n_pairs,),
+            in_specs=[
+                pl.BlockSpec((TILE_PG, 3), lambda i, pt, pb, cf: (pt[i], 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((BPD, G * G, G), lambda i, pt, pb, cf:
+                             (0, 0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((TILE_PG, 4), lambda i, pt, pb, cf:
+                                   (pt[i], 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=jax.ShapeDtypeStruct((pts_s.shape[0], 4), jnp.float32),
+        interpret=_interpret(),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 2**20),
+    )(pair_tile, _pack_bones(pair_bone, NGB), coef, pts_s, vol)
+    return acc_s, (pts_s, rg, tg, vol_qz, pair_tile, pair_bone, n_pairs)
+
+
+def _pg_s_bwd(prec, res, gacc_s):
+    pts_s, rg, tg, vol_qz, pair_tile, pair_bone, n_pairs = res
+    dpts_s, drg, dtg, dvol = _pg_bwd_kernel_run(
+        prec, pts_s, rg, tg, vol_qz, pair_tile, pair_bone, n_pairs,
+        gacc_s.astype(jnp.float32))
+    dtables = tuple(np.zeros(np.shape(t), jax.dtypes.float0)
+                    for t in (pair_tile, pair_bone, n_pairs))
+    return (dpts_s, drg, dtg, dvol) + dtables
+
+
+inverse_core_pg_s.defvjp(
+    lambda p, r, t, v, pt, pb, ns, prec: _pg_s_fwd(
+        p, r, t, v, pt, pb, ns, prec),
+    _pg_s_bwd)
 
 
 def _pg_vol(vol_qz, BPD, dt):
@@ -1017,12 +1091,23 @@ def _pg_fwd(pts_g, rg, tg, vol_qz, prec):
 def _pg_bwd(prec, res, gacc):
     (pts_s, rg, tg, vol_qz, pair_tile, pair_bone, n_pairs, perm,
      inv_perm, n) = res
+    n_pad = pts_s.shape[0]
+    gacc_p = jnp.zeros((n_pad, 4), jnp.float32).at[:n].set(
+        gacc.astype(jnp.float32))[perm]
+    dpts_s, drg, dtg, dvol = _pg_bwd_kernel_run(
+        prec, pts_s, rg, tg, vol_qz, pair_tile, pair_bone, n_pairs,
+        gacc_p)
+    return dpts_s[inv_perm][:n], drg, dtg, dvol
+
+
+def _pg_bwd_kernel_run(prec, pts_s, rg, tg, vol_qz, pair_tile,
+                       pair_bone, n_pairs, gacc_p):
+    """Quad pair-grid backward in the SORTED domain (shared by the
+    legacy unsorted VJP and `inverse_core_pg_s`)."""
     B, QQ, G = vol_qz.shape
     NGB, BPD = _pg_pad_shapes(B, G)
     n_pad = pts_s.shape[0]
     cap = pair_tile.shape[0]
-    gacc_p = jnp.zeros((n_pad, 4), jnp.float32).at[:n].set(
-        gacc.astype(jnp.float32))[perm]
     rgp = jnp.pad(rg.astype(jnp.float32), ((0, BPD - B), (0, 0)))
     tgp = jnp.pad(tg.astype(jnp.float32), ((0, BPD - B), (0, 0)))
     coef = _pg_coef(rgp, tgp)
@@ -1068,7 +1153,6 @@ def _pg_bwd(prec, res, gacc):
     )(pair_tile, _pack_bones(pair_bone, NGB), coef, pts_s, vol, kseg,
       gacc_p)
 
-    dpts = dpts_s[inv_perm][:n]
     # dr: mask tail (blocks past n_pairs are never written -> garbage),
     # pick each quad-lane's segment start, segment-sum by bone
     valid = (jnp.arange(cap) < n_pairs)[:, None, None, None]
@@ -1080,11 +1164,11 @@ def _pg_bwd(prec, res, gacc):
     per_bone = per_bone.reshape(BPD, 3, 4)
     drg = per_bone[:B, :, :3].reshape(B, 9)
     dtg = per_bone[:B, :, 3]
-    return (dpts.astype(jnp.float32), drg.astype(rg.dtype),
+    return (dpts_s.astype(jnp.float32), drg.astype(rg.dtype),
             dtg.astype(tg.dtype), dvol[:B].astype(vol_qz.dtype))
 
 
-inverse_core_pg.defvjp(
+_pg_legacy.defvjp(
     lambda p, r, t, v, prec: _pg_fwd(p, r, t, v, prec), _pg_bwd)
 
 
@@ -1798,16 +1882,28 @@ def _shared_blend_bwd_kernel(pts_ref, vol_ref, sum_ref, exp_ref, rmat_ref,
                       + dpts_direct)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
-def shared_blend_core(pts_g, vol_all, rmat, prec="bf16"):
+def _shared_blend_fwd_kernel_k0(k0_ref, *refs, B, G, K, prec):
+    """PrefetchScalarGridSpec prepends the k0 scalar ref — drop it."""
+    _shared_blend_fwd_kernel(*refs, B=B, G=G, K=K, prec=prec)
+
+
+def _shared_blend_bwd_kernel_k0(k0_ref, *refs, B, G, K, prec):
+    _shared_blend_bwd_kernel(*refs, B=B, G=G, K=K, prec=prec)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def shared_blend_core(pts_g, vol_all, rmat, k0, prec="bf16"):
     """Fused forward LBS: shared-tap weights + K-set affine blend.
 
-    pts_g [N, 3] grid coords; vol_all [G*G, B*G]; rmat [B, 12K].
+    pts_g [N, 3] grid coords; vol_all [G*G, B*G]; rmat [B, 12K];
+    k0 [1] int32 — first live TILE_SH block (live-suffix mode: rows
+    [0, k0*TILE_SH) are skipped fwd AND bwd, their outputs left
+    UNWRITTEN; pass 0 to process everything).
     Returns [N, 3K+1] = (acc_0..acc_{K-1} world coords, wsum)."""
-    return _shared_blend_fwd(pts_g, vol_all, rmat, prec)[0]
+    return _shared_blend_fwd(pts_g, vol_all, rmat, k0, prec)[0]
 
 
-def _shared_blend_fwd(pts_g, vol_all, rmat, prec):
+def _shared_blend_fwd(pts_g, vol_all, rmat, k0, prec):
     QQ, BG = vol_all.shape
     G = int(round(QQ ** 0.5))
     B = BG // G
@@ -1817,35 +1913,39 @@ def _shared_blend_fwd(pts_g, vol_all, rmat, prec):
     dt = jnp.bfloat16 if prec == "bf16" else jnp.float32
     vol = vol_all.astype(dt)
     sum_blk = jnp.asarray(np.kron(np.eye(B), np.ones((G, 1))), dt)
-    grid = (pts_p.shape[0] // TILE_SH,)
-    kern = functools.partial(_shared_blend_fwd_kernel, B=B, G=G, K=K,
+    n_blocks = pts_p.shape[0] // TILE_SH
+    kern = functools.partial(_shared_blend_fwd_kernel_k0, B=B, G=G, K=K,
                              prec=prec)
     out = pl.pallas_call(
         kern,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((TILE_SH, 3), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((QQ, BG), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((BG, B), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((B, 12 * K), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((TILE_SH, 3 * K + 1), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(jnp.maximum(n_blocks - k0[0], 0),),
+            in_specs=[
+                pl.BlockSpec((TILE_SH, 3), lambda i, k0: (k0[0] + i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((QQ, BG), lambda i, k0: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((BG, B), lambda i, k0: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((B, 12 * K), lambda i, k0: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((TILE_SH, 3 * K + 1),
+                                   lambda i, k0: (k0[0] + i, 0),
+                                   memory_space=pltpu.VMEM),
+        ),
         out_shape=jax.ShapeDtypeStruct((pts_p.shape[0], 3 * K + 1),
                                        jnp.float32),
         interpret=_interpret(),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 2**20),
-    )(pts_p, vol, sum_blk, rmat.astype(jnp.float32))
-    return out[:n], (pts_g, vol_all, rmat)
+    )(k0, pts_p, vol, sum_blk, rmat.astype(jnp.float32))
+    return out[:n], (pts_g, vol_all, rmat, k0)
 
 
 def _shared_blend_bwd(prec, res, gout):
-    pts_g, vol_all, rmat = res
+    pts_g, vol_all, rmat, k0 = res
     QQ, BG = vol_all.shape
     G = int(round(QQ ** 0.5))
     B = BG // G
@@ -1856,34 +1956,38 @@ def _shared_blend_bwd(prec, res, gout):
     vol = vol_all.astype(dt)
     sum_blk = jnp.asarray(np.kron(np.eye(B), np.ones((G, 1))), dt)
     expand = jnp.asarray(np.kron(np.eye(B), np.ones((1, G))), dt)
-    grid = (pts_p.shape[0] // TILE_SH,)
-    kern = functools.partial(_shared_blend_bwd_kernel, B=B, G=G, K=K,
+    n_blocks = pts_p.shape[0] // TILE_SH
+    kern = functools.partial(_shared_blend_bwd_kernel_k0, B=B, G=G, K=K,
                              prec=prec)
     dpts, dvol, drmat = pl.pallas_call(
         kern,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((TILE_SH, 3), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((QQ, BG), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((BG, B), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((B, BG), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((B, 12 * K), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE_SH, 3 * K + 1), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((TILE_SH, 3), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((QQ, BG), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((B, 12 * K), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(jnp.maximum(n_blocks - k0[0], 0),),
+            in_specs=[
+                pl.BlockSpec((TILE_SH, 3), lambda i, k0: (k0[0] + i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((QQ, BG), lambda i, k0: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((BG, B), lambda i, k0: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((B, BG), lambda i, k0: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((B, 12 * K), lambda i, k0: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((TILE_SH, 3 * K + 1),
+                             lambda i, k0: (k0[0] + i, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((TILE_SH, 3), lambda i, k0: (k0[0] + i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((QQ, BG), lambda i, k0: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((B, 12 * K), lambda i, k0: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+        ),
         out_shape=[
             jax.ShapeDtypeStruct((pts_p.shape[0], 3), jnp.float32),
             jax.ShapeDtypeStruct((QQ, BG), jnp.float32),
@@ -1892,14 +1996,556 @@ def _shared_blend_bwd(prec, res, gout):
         interpret=_interpret(),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 2**20),
-    )(pts_p, vol, sum_blk, expand, rmat.astype(jnp.float32), g_p)
+    )(k0, pts_p, vol, sum_blk, expand, rmat.astype(jnp.float32), g_p)
+    dk0 = np.zeros((1,), jax.dtypes.float0)
     return (dpts[:n].astype(pts_g.dtype), dvol.astype(vol_all.dtype),
-            drmat.astype(rmat.dtype))
+            drmat.astype(rmat.dtype), dk0)
 
 
 shared_blend_core.defvjp(
-    lambda p, v, r, prec: _shared_blend_fwd(p, v, r, prec),
+    lambda p, v, r, k0, prec: _shared_blend_fwd(p, v, r, k0, prec),
     _shared_blend_bwd)
+
+
+# ---------------------------------------------------------------------------
+# bone-packed pair-grid inverse kernel (round 5)
+# ---------------------------------------------------------------------------
+#
+# The quad pair-grid kernel packs 4 CONSECUTIVE surviving bones of ONE
+# tile per 128-lane step, so each tile rounds its alive-bone count up to
+# a multiple of 4 (plus a forced quad 0) — executed bone-slot density
+# 0.395 vs the 0.31 tile-alive bound on production batches (VERDICT r4
+# #4). This kernel packs 4 *independent* (tile, bone) pairs per step by
+# giving each lane segment ("slot") its OWN pts/output blocks:
+#
+# * tiles are partitioned into NS = 128//G contiguous chunks balanced by
+#   cumulative pair count; slot j walks chunk j's (tile, bone) pairs in
+#   tile order (one pair per step), so each slot's tile sequence is
+#   non-decreasing and the revisited-output-block accumulation pattern
+#   of the quad kernel still applies per slot;
+# * the per-sample chains ride the SAME [T, 128] lane packing — segment
+#   j now broadcasts slot j's tile coordinates instead of one shared
+#   tile's — and per-slot results come out of segment-sum matmuls
+#   against a [128, NS] selector;
+# * each slot writes its own [n_pad, 4] output array; the XLA side
+#   selects per tile by its chunk id (blocks a slot never visited hold
+#   garbage but are never selected);
+# * dRg/dTg accumulate in a resident [BPD, 4, 3] VMEM block via the
+#   dvol dynamic-index pattern — retiring the quad kernel's per-pair
+#   [cap, 3, 4, 128] HBM table AND its XLA-side segment_sum;
+# * grid length = max slot length; short slots pad by repeating their
+#   last tile with the dummy bone (zero volume channel -> the padded
+#   steps accumulate exact zeros, values AND grads);
+# * SMEM: tile ids pack 2-per-int32 (slot tables at the all-alive
+#   worst-case capacity are 689 KB at the 8-patch batch vs the 1 MB
+#   budget; unpacked they would not fit).
+#
+# Exactness: the pair list is built from the same exact per-sample
+# support predicate as the quad kernel, so results equal the dense
+# kernel's up to f32 summation order (tests/test_pallas_lbs.py).
+#
+# MEASURED RESULT (v5e, 262k production-shaped samples,
+# tools/bench_lbs_pg.py, 2026-08-20): executed density does drop
+# 0.396 -> 0.308 (-22% pairs), but the kernel REGRESSES vs the quad
+# pair-grid — fwd 18.6 -> 24.6 ms, fwd+bwd 48.8 -> 59.4 ms. The
+# per-step fixed work grew more than the grid shrank: 4 independent
+# small pts/out block streams replace one revisited block, the
+# per-slot [T,128]->[T,NS] segment-sum matmuls and 4x set/accumulate
+# branches replace single full-lane reductions, and the resident
+# [BPD, 4, 3] dRg accumulation adds 4 dynamic-index updates per step.
+# Same lesson as the windowed variant: at this density, per-step fixed
+# work — not pair count — is the binding constraint. Kept OFF the
+# default path (HOSNERF_PG_IMPL=bp to enable), tested for exactness
+# (tests/test_pallas_lbs.py::test_bonepacked_*) as the measured answer
+# to VERDICT r4 #4's bone-packing hypothesis.
+
+
+def _seg_matrix(G: int):
+    """[128, NS] f32 slot selector: column j = 1 on lanes of segment j
+    (built in-kernel; pallas forbids captured array constants)."""
+    NS = 128 // G
+    lane = jax.lax.broadcasted_iota(jnp.int32, (128, NS), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (128, NS), 1)
+    sh = G.bit_length() - 1
+    return ((lane >> sh) == col).astype(jnp.float32)
+
+
+def _bp_tile_id(ptile_ref, j: int, idx):
+    """Tile id of slot j at step idx from the 16-bit-packed SMEM table.
+    Arithmetic >> then mask is sign-safe for ids < 65536."""
+    w = ptile_ref[j, idx // 2]
+    return (w >> (16 * (idx % 2))) & 0xFFFF
+
+
+def _bp_store(oref, ptile_ref, j: int, i, contrib):
+    """Set-or-accumulate into slot j's revisited output block."""
+    cur = _bp_tile_id(ptile_ref, j, i)
+    prev = _bp_tile_id(ptile_ref, j, jnp.maximum(i - 1, 0))
+    first = jnp.logical_or(i == 0, cur != prev)
+
+    @pl.when(first)
+    def _set():
+        oref[:, :] = contrib
+
+    @pl.when(jnp.logical_not(first))
+    def _acc():
+        oref[:, :] += contrib
+
+
+def _slot_pairs(alive, B: int, BPD: int, G: int):
+    """Partition the alive (tile, bone) pairs into NS = 128//G balanced
+    per-slot streams (tiles contiguous and non-decreasing per slot; dead
+    tiles contribute one dummy pair so every output block initializes).
+
+    alive [n_tiles, BPD] bool. Returns (ptile16 [NS, CAP//2] int32 with
+    two tile ids per word, pbone [CAP] int32 with NS byte-packed bones
+    per step, slot_of [n_tiles] int32, n_steps traced scalar)."""
+    NS = 128 // G
+    n_tiles = alive.shape[0]
+    assert n_tiles < (1 << 16), "16-bit tile packing needs < 65536 tiles"
+    alive = alive & (jnp.arange(BPD) < B)[None, :]
+    order = jnp.argsort(jnp.logical_not(alive), axis=1, stable=True)
+    acount = jnp.sum(alive, axis=1)
+    cnt = jnp.maximum(acount, 1)
+    cum = jnp.cumsum(cnt)
+    total = cum[-1]
+    cum_ex = cum - cnt
+    slot_of = jnp.minimum((cum_ex * NS) // total, NS - 1).astype(jnp.int32)
+    # per-slot stream offsets: cum_ex of the slot's first tile
+    is_first = jnp.concatenate(
+        [jnp.ones((1,), bool), slot_of[1:] != slot_of[:-1]])
+    slot_start = jnp.zeros((NS,), cum_ex.dtype).at[
+        jnp.where(is_first, slot_of, NS)].set(
+        jnp.where(is_first, cum_ex, 0), mode="drop")
+    slot_len = jnp.zeros((NS,), jnp.int32).at[slot_of].add(
+        cnt.astype(jnp.int32))
+    last_tile = jnp.zeros((NS,), jnp.int32).at[slot_of].max(
+        jnp.arange(n_tiles, dtype=jnp.int32))
+
+    # scatter each tile's pair run into its slot's stream
+    cap = n_tiles * BPD // NS + BPD      # all-alive worst case + boundary
+    cap += cap % 2                       # even, for 16-bit packing
+    slot = jnp.arange(BPD)[None, :]
+    valid = slot < cnt[:, None]
+    bones = jnp.where(slot < acount[:, None], order, BPD - 1)
+    base = (cum_ex - slot_start[slot_of]).astype(jnp.int32)
+    pos = slot_of[:, None] * cap + base[:, None] + slot
+    tgt = jnp.where(valid, pos, NS * cap)
+    tile_of = jnp.broadcast_to(
+        jnp.arange(n_tiles, dtype=jnp.int32)[:, None], (n_tiles, BPD))
+    flat_tile = jnp.zeros((NS * cap,), jnp.int32).at[tgt.reshape(-1)].set(
+        tile_of.reshape(-1), mode="drop")
+    flat_bone = jnp.full((NS * cap,), BPD - 1, jnp.int32).at[
+        tgt.reshape(-1)].set(bones.reshape(-1).astype(jnp.int32),
+                             mode="drop")
+    # pad region repeats the slot's last tile (same block -> accumulate
+    # exact zeros via the dummy bone, never an overwrite)
+    sidx = jnp.arange(NS * cap) // cap
+    pidx = jnp.arange(NS * cap) % cap
+    in_pad = pidx >= slot_len[sidx]
+    flat_tile = jnp.where(in_pad, last_tile[sidx], flat_tile)
+
+    t2 = flat_tile.reshape(NS, cap)
+    ptile16 = t2[:, 0::2] | (t2[:, 1::2] << 16)
+    pbone = _pack_bones(flat_bone.reshape(NS, cap).T, NS)
+    n_steps = jnp.maximum(jnp.max(slot_len), 1)
+    return ptile16, pbone, slot_of, n_steps
+
+
+def _bp_segs(coef_ref, bs, prefs, T: int, G: int):
+    """Per-slot grid-coordinate chains on the [T, 128] lane packing:
+    segment j broadcasts slot j's tile coordinates."""
+    NS = len(bs)
+    xs = jnp.concatenate([jnp.broadcast_to(prefs[j][:, 0:1], (T, G))
+                          for j in range(NS)], axis=1)
+    ys = jnp.concatenate([jnp.broadcast_to(prefs[j][:, 1:2], (T, G))
+                          for j in range(NS)], axis=1)
+    zs = jnp.concatenate([jnp.broadcast_to(prefs[j][:, 2:3], (T, G))
+                          for j in range(NS)], axis=1)
+    rx = _coef_rows(coef_ref, bs, G, 0)
+    ry = _coef_rows(coef_ref, bs, G, 4)
+    rz = _coef_rows(coef_ref, bs, G, 8)
+    fxseg = xs * rx[0] + ys * rx[1] + zs * rx[2] + rx[3]
+    fyseg = xs * ry[0] + ys * ry[1] + zs * ry[2] + ry[3]
+    fzseg = xs * rz[0] + ys * rz[1] + zs * rz[2] + rz[3]
+    return fxseg, fyseg, fzseg, rx, ry, rz
+
+
+def _bp_fwd_kernel(ptile_ref, pbone_ref, coef_ref, *refs,
+                   G: int, prec: str):
+    """One step = NS independent (tile, bone) pairs, one per lane
+    segment. Same per-segment math as `_pg_fwd_kernel`; per-slot sums
+    come from a [128, NS] segment-sum matmul instead of full-lane sums."""
+    NS = 128 // G
+    prefs = refs[:NS]
+    volq_ref = refs[NS]
+    orefs = refs[NS + 1:]
+    i = pl.program_id(0)
+    T = prefs[0].shape[0]
+    x128 = _lane_iota_f(T, G)
+    xq2, yq2 = _xyq_iotas_f(T, G)
+    dt = jnp.bfloat16 if prec == "bf16" else jnp.float32
+
+    bs = [_unpack_bone(pbone_ref, i, j, NS) for j in range(NS)]
+    fxseg, fyseg, fzseg, _, _, _ = _bp_segs(coef_ref, bs, prefs, T, G)
+    zcs = []
+    for j in range(NS):
+        c = slice(G * j, G * j + 1)
+        oh = (_hat(fxseg[:, c], xq2)
+              * _hat(fyseg[:, c], yq2)).astype(dt)        # [T, G*G]
+        zcs.append(_mm(oh, volq_ref[bs[j]], prec))        # [T, G]
+    zcols4 = jnp.concatenate(zcs, axis=1)                 # [T, 128]
+    P4 = _hat(fzseg, x128) * zcols4
+    segm = _seg_matrix(G)
+    sx = _mm(P4 * fxseg, segm, "highest")                 # [T, NS]
+    sy = _mm(P4 * fyseg, segm, "highest")
+    sz = _mm(P4 * fzseg, segm, "highest")
+    sw = _mm(P4, segm, "highest")
+    for j in range(NS):
+        _bp_store(orefs[j], ptile_ref, j, i,
+                  jnp.concatenate([sx[:, j:j + 1], sy[:, j:j + 1],
+                                   sz[:, j:j + 1], sw[:, j:j + 1]],
+                                  axis=1))
+
+
+def _bp_bwd_kernel(ptile_ref, pbone_ref, coef_ref, *refs,
+                   G: int, prec: str):
+    """Backward by recomputation (mirrors `_pg_bwd_kernel` per segment).
+    dRg/dTg accumulate into a resident [BPD, 4, 3] block per bone (the
+    dvol pattern) instead of the quad kernel's per-pair HBM table."""
+    NS = 128 // G
+    prefs = refs[:NS]
+    volq_ref = refs[NS]
+    kseg_ref = refs[NS + 1]
+    grefs = refs[NS + 2:2 * NS + 2]
+    drefs = refs[2 * NS + 2:3 * NS + 2]
+    dr_ref = refs[3 * NS + 2]
+    dvol_ref = refs[3 * NS + 3]
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _init():
+        dvol_ref[:, :, :] = jnp.zeros_like(dvol_ref)
+        dr_ref[:, :, :] = jnp.zeros_like(dr_ref)
+
+    T = prefs[0].shape[0]
+    x128 = _lane_iota_f(T, G)
+    xq2, yq2 = _xyq_iotas_f(T, G)
+    dt = jnp.bfloat16 if prec == "bf16" else jnp.float32
+    dims_t = (((0,), (0,)), ((), ()))
+
+    bs = [_unpack_bone(pbone_ref, i, j, NS) for j in range(NS)]
+    fxseg, fyseg, fzseg, rx, ry, rz = _bp_segs(coef_ref, bs, prefs, T, G)
+    gx4 = jnp.concatenate([jnp.broadcast_to(grefs[j][:, 0:1], (T, G))
+                           for j in range(NS)], axis=1)
+    gy4 = jnp.concatenate([jnp.broadcast_to(grefs[j][:, 1:2], (T, G))
+                           for j in range(NS)], axis=1)
+    gz4 = jnp.concatenate([jnp.broadcast_to(grefs[j][:, 2:3], (T, G))
+                           for j in range(NS)], axis=1)
+    gws4 = jnp.concatenate([jnp.broadcast_to(grefs[j][:, 3:4], (T, G))
+                            for j in range(NS)], axis=1)
+    gw4 = gx4 * fxseg + gy4 * fyseg + gz4 * fzseg + gws4
+    tz4 = _hat(fzseg, x128)
+    dhz4 = _dhat(_clipped_floor(fzseg, G), x128)
+
+    zcs, dfxrs, dfyrs = [], [], []
+    for j in range(NS):
+        b = bs[j]
+        c = slice(G * j, G * j + 1)
+        s = slice(G * j, G * (j + 1))
+        hx = _hat(fxseg[:, c], xq2)
+        hy = _hat(fyseg[:, c], yq2)
+        oh = (hx * hy).astype(dt)                       # [T, G*G]
+        zc = _mm(oh, volq_ref[b], prec)                 # [T, G]
+        m2 = _mm((_dhat(_clipped_floor(fxseg[:, c], G), xq2)
+                  * hy).astype(dt), volq_ref[b], prec)
+        m3 = _mm((hx * _dhat(_clipped_floor(fyseg[:, c], G), yq2)
+                  ).astype(dt), volq_ref[b], prec)
+        tzj = tz4[:, s]
+        dvol_ref[b] += _mm(oh, gw4[:, c] * tzj, prec, dims=dims_t)
+        zcs.append(zc)
+        dfxrs.append(jnp.broadcast_to(
+            jnp.sum(m2 * tzj, axis=1, keepdims=True), (T, G)))
+        dfyrs.append(jnp.broadcast_to(
+            jnp.sum(m3 * tzj, axis=1, keepdims=True), (T, G)))
+    zcols4 = jnp.concatenate(zcs, axis=1)
+    dfxr4 = jnp.concatenate(dfxrs, axis=1)
+    dfyr4 = jnp.concatenate(dfyrs, axis=1)
+
+    def segsum(q):
+        return _mm(q, kseg_ref[:, :], "highest")
+
+    wB4 = segsum(tz4 * zcols4)
+    dfx4 = gx4 * wB4 + gw4 * dfxr4
+    dfy4 = gy4 * wB4 + gw4 * dfyr4
+    dfz4 = gz4 * wB4 + gw4 * segsum(dhz4 * zcols4)
+
+    # dRg/dTg: per slot, p4^T @ (dfx | dfy | dfz at the segment's first
+    # lane — segment-constant) -> [4, 3], accumulated per bone
+    ones = jnp.ones((T, 1), jnp.float32)
+    for j in range(NS):
+        c = slice(G * j, G * j + 1)
+        d3 = jnp.concatenate([dfx4[:, c], dfy4[:, c], dfz4[:, c]],
+                             axis=1)                      # [T, 3]
+        p4j = jnp.concatenate([prefs[j][:, :], ones], axis=1)  # [T, 4]
+        dr_ref[bs[j]] += _mm(p4j, d3, "highest", dims=dims_t)
+
+    # dpts per slot via segment sums; lanes overcount by G -> 1/G
+    segm = _seg_matrix(G)
+    inv_g = jnp.float32(1.0 / G)
+    qs = [_mm(dfx4 * rx[k] + dfy4 * ry[k] + dfz4 * rz[k], segm,
+              "highest") for k in range(3)]               # [T, NS] each
+    for j in range(NS):
+        contrib = inv_g * jnp.concatenate(
+            [qs[0][:, j:j + 1], qs[1][:, j:j + 1], qs[2][:, j:j + 1]],
+            axis=1)
+        _bp_store(drefs[j], ptile_ref, j, i, contrib)
+
+
+def _bp_combine(slot_of, outs, TILE: int):
+    """Select each tile's rows from its owning slot's output array."""
+    sel = jnp.repeat(slot_of, TILE)
+    acc = outs[0]
+    for j in range(1, len(outs)):
+        acc = jnp.where((sel == j)[:, None], outs[j], acc)
+    return acc
+
+
+@jax.custom_vjp
+def permute_rows(x, perm, inv_perm):
+    """x[perm] whose VJP is a GATHER by the known inverse permutation
+    instead of autodiff's scatter-add (scatters don't get the
+    sorted/unique fast path — measured ~2x a gather at these shapes;
+    the round-2 lesson, re-applied to the hoisted sort)."""
+    return x[perm]
+
+
+def _permute_fwd(x, perm, inv_perm):
+    return x[perm], (perm, inv_perm)
+
+
+def _permute_bwd(res, g):
+    perm, inv_perm = res
+    zt = tuple(np.zeros(np.shape(p), jax.dtypes.float0)
+               for p in (perm, inv_perm))
+    return (g[inv_perm],) + zt
+
+
+permute_rows.defvjp(_permute_fwd, _permute_bwd)
+
+
+class BPDomain:
+    """Liveness-sorted sample domain shared by the bone-packed inverse
+    kernel AND every downstream per-sample op (live-suffix skipping).
+
+    Under the ascending signature sort, zero-support sample GROUPS (of
+    SORT_GROUP) form a contiguous PREFIX of the sorted array — so any
+    tile-granular consumer can skip its dead prefix with one traced
+    block offset (`k0_for(tile)`), and the exact sample-level dead/live
+    boundary is `n_dead_groups * SORT_GROUP` (`live_row_mask`)."""
+
+    def __init__(self, pts_s, perm, inv_perm, n, alive, n_dead_groups,
+                 tables):
+        self.pts_s = pts_s              # [n_pad, 3] sorted f32
+        self.perm = perm                # [n_pad]
+        self.inv_perm = inv_perm        # [n_pad]
+        self.n = n                      # true (unpadded) sample count
+        self.alive = alive              # [n_tiles, BPD] bool
+        self.n_dead_groups = n_dead_groups   # traced scalar
+        self.tables = tables            # (ptile16, pbone, slot_of, n_steps)
+
+    def k0_for(self, tile: int):
+        """First live block at a consumer's tile size (floor — blocks
+        straddling the boundary are processed)."""
+        return (self.n_dead_groups * SORT_GROUP) // tile
+
+    def live_row_mask(self):
+        """[n_pad, 1] f32: 1 on rows at/after the exact dead/live sample
+        boundary. Rows below it are dead in exact math (zero support ->
+        masked out of every loss) and may hold kernel garbage."""
+        n_pad = self.pts_s.shape[0]
+        boundary = self.n_dead_groups * SORT_GROUP
+        return (jnp.arange(n_pad) >= boundary).astype(
+            jnp.float32)[:, None]
+
+    def unsort(self, x_s):
+        """Sorted-domain array -> original row order, pad stripped
+        (gather both directions via `permute_rows`)."""
+        return permute_rows(x_s, self.inv_perm, self.perm)[:self.n]
+
+    def sort_rows(self, x):
+        """Original-order [n, ...] array -> sorted domain [n_pad, ...]
+        (zero-pads, then gathers; VJP is gathers both ways)."""
+        pad = self.pts_s.shape[0] - x.shape[0]
+        xp = jnp.concatenate(
+            [x, jnp.zeros((pad,) + x.shape[1:], x.dtype)], axis=0)
+        return permute_rows(xp, self.perm, self.inv_perm)
+
+
+def bp_prepare(pts_g, rg, tg, G: int, B: int,
+               kind: str = "quad") -> BPDomain:
+    """Support + signature sort + pair tables for the sorted-domain
+    inverse kernels. One pass, shared by the inverse kernel and the
+    live-suffix consumers (the model calls this once per step).
+    kind: 'quad' (production — `inverse_core_pg_s` tables) or 'bp'
+    (the bone-packed experiment — `inverse_core_bp_s` tables)."""
+    _, BPD = _pg_pad_shapes(B, G)
+    pts_p, n = _pad_rows(pts_g.astype(jnp.float32), TILE_PG)
+    rgp = jnp.pad(rg.astype(jnp.float32), ((0, BPD - B), (0, 0)))
+    tgp = jnp.pad(tg.astype(jnp.float32), ((0, BPD - B), (0, 0)))
+    sup = _sample_support(jax.lax.stop_gradient(pts_p),
+                          jax.lax.stop_gradient(rgp),
+                          jax.lax.stop_gradient(tgp), G)
+    sup = sup & (jnp.arange(BPD) < B)[None, :]
+    sup = sup & (jnp.arange(pts_p.shape[0]) < n)[:, None]
+    perm, inv_perm = _support_sort_perm(sup)
+    n_groups = pts_p.shape[0] // SORT_GROUP
+    g_any = jnp.any(sup.reshape(n_groups, SORT_GROUP, BPD), axis=(1, 2))
+    n_dead_groups = n_groups - jnp.sum(g_any.astype(jnp.int32))
+    pts_s = pts_p[perm]
+    n_tiles = pts_s.shape[0] // TILE_PG
+    alive = jnp.any(sup[perm].reshape(n_tiles, TILE_PG, BPD), axis=1)
+    tables = (_slot_pairs(alive, B, BPD, G) if kind == "bp"
+              else _compact_pairs(alive, B, BPD, G))
+    return BPDomain(pts_s, perm, inv_perm, n, alive, n_dead_groups,
+                    tables)
+
+
+def inverse_core_bp(pts_g, rg, tg, vol_qz, prec="bf16"):
+    """Bone-packed pair-grid inverse-LBS accumulation — same contract
+    and (up to f32 summation order) same values as `inverse_core_pg`,
+    at the tile-alive pair density (no quad rounding). Autodiff flows
+    through the sort gather + the sorted-core custom VJP."""
+    B, QQ, G = vol_qz.shape
+    dom = bp_prepare(pts_g, rg, tg, G, B, kind="bp")
+    # re-gather with gradient (bp_prepare's pts_s is stop_gradient'd
+    # only inside the support predicate; the kernel input needs grads)
+    pts_s = dom.sort_rows(pts_g.astype(jnp.float32))
+    acc_s = inverse_core_bp_s(pts_s, rg, tg, vol_qz, *dom.tables, prec)
+    return dom.unsort(acc_s)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8,))
+def inverse_core_bp_s(pts_s, rg, tg, vol_qz, ptile16, pbone, slot_of,
+                      n_steps, prec="bf16"):
+    """Sorted-domain bone-packed core: pts_s [n_pad, 3] liveness-sorted;
+    tables from `bp_prepare`. Returns acc_s [n_pad, 4] in the SORTED
+    domain (dead rows exact — every tile gets at least one pair)."""
+    return _bp_fwd(pts_s, rg, tg, vol_qz, ptile16, pbone, slot_of,
+                   n_steps, prec)[0]
+
+
+def _bp_fwd(pts_s, rg, tg, vol_qz, ptile16, pbone, slot_of, n_steps,
+            prec):
+    B, QQ, G = vol_qz.shape
+    assert QQ == G * G, "inverse_core_bp needs cubic volumes"
+    NS = 128 // G
+    _, BPD = _pg_pad_shapes(B, G)
+    rgp = jnp.pad(rg.astype(jnp.float32), ((0, BPD - B), (0, 0)))
+    tgp = jnp.pad(tg.astype(jnp.float32), ((0, BPD - B), (0, 0)))
+    coef = _pg_coef(rgp, tgp)
+    dt = jnp.bfloat16 if prec == "bf16" else jnp.float32
+    vol = _pg_vol(vol_qz, BPD, dt)
+
+    def pts_spec(j):
+        return pl.BlockSpec(
+            (TILE_PG, 3),
+            lambda i, pt, pb, cf, j=j: (_bp_tile_id(pt, j, i), 0),
+            memory_space=pltpu.VMEM)
+
+    def out_spec(j):
+        return pl.BlockSpec(
+            (TILE_PG, 4),
+            lambda i, pt, pb, cf, j=j: (_bp_tile_id(pt, j, i), 0),
+            memory_space=pltpu.VMEM)
+
+    kern = functools.partial(_bp_fwd_kernel, G=G, prec=prec)
+    outs = pl.pallas_call(
+        kern,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(n_steps,),
+            in_specs=[pts_spec(j) for j in range(NS)] + [
+                pl.BlockSpec((BPD, G * G, G), lambda i, pt, pb, cf:
+                             (0, 0, 0), memory_space=pltpu.VMEM)],
+            out_specs=[out_spec(j) for j in range(NS)],
+        ),
+        out_shape=[jax.ShapeDtypeStruct((pts_s.shape[0], 4), jnp.float32)
+                   for _ in range(NS)],
+        interpret=_interpret(),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 2**20),
+    )(ptile16, pbone, coef, *([pts_s] * NS), vol)
+    acc_s = _bp_combine(slot_of, outs, TILE_PG)
+    return acc_s, (pts_s, rg, tg, vol_qz, ptile16, pbone, slot_of,
+                   n_steps)
+
+
+def _bp_bwd(prec, res, gacc_s):
+    (pts_s, rg, tg, vol_qz, ptile16, pbone, slot_of, n_steps) = res
+    B, QQ, G = vol_qz.shape
+    NS = 128 // G
+    _, BPD = _pg_pad_shapes(B, G)
+    n_pad = pts_s.shape[0]
+    gacc_p = gacc_s.astype(jnp.float32)
+    rgp = jnp.pad(rg.astype(jnp.float32), ((0, BPD - B), (0, 0)))
+    tgp = jnp.pad(tg.astype(jnp.float32), ((0, BPD - B), (0, 0)))
+    coef = _pg_coef(rgp, tgp)
+    dt = jnp.bfloat16 if prec == "bf16" else jnp.float32
+    vol = _pg_vol(vol_qz, BPD, dt)
+    lane = np.arange(128)
+    kseg = jnp.asarray((lane[:, None] // G) == (lane[None, :] // G),
+                       jnp.float32)
+
+    def blk_spec(j, w):
+        return pl.BlockSpec(
+            (TILE_PG, w),
+            lambda i, pt, pb, cf, j=j: (_bp_tile_id(pt, j, i), 0),
+            memory_space=pltpu.VMEM)
+
+    kern = functools.partial(_bp_bwd_kernel, G=G, prec=prec)
+    outs = pl.pallas_call(
+        kern,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(n_steps,),
+            in_specs=([blk_spec(j, 3) for j in range(NS)] + [
+                pl.BlockSpec((BPD, G * G, G), lambda i, pt, pb, cf:
+                             (0, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((128, 128), lambda i, pt, pb, cf: (0, 0),
+                             memory_space=pltpu.VMEM)]
+                + [blk_spec(j, 4) for j in range(NS)]),
+            out_specs=([blk_spec(j, 3) for j in range(NS)] + [
+                pl.BlockSpec((BPD, 4, 3), lambda i, pt, pb, cf:
+                             (0, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((BPD, G * G, G), lambda i, pt, pb, cf:
+                             (0, 0, 0), memory_space=pltpu.VMEM)]),
+        ),
+        out_shape=([jax.ShapeDtypeStruct((n_pad, 3), jnp.float32)
+                    for _ in range(NS)]
+                   + [jax.ShapeDtypeStruct((BPD, 4, 3), jnp.float32),
+                      jax.ShapeDtypeStruct((BPD, QQ, G), jnp.float32)]),
+        interpret=_interpret(),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 2**20),
+    )(ptile16, pbone, coef, *([pts_s] * NS), vol, kseg,
+      *([gacc_p] * NS))
+    dpts_s = _bp_combine(slot_of, outs[:NS], TILE_PG)
+    per_bone = outs[NS][:B]                             # [B, 4, 3]
+    drg = jnp.transpose(per_bone[:, :3, :], (0, 2, 1)).reshape(B, 9)
+    dtg = per_bone[:, 3, :]
+    dvol = outs[NS + 1]
+    dtables = tuple(np.zeros(np.shape(t), jax.dtypes.float0)
+                    for t in (ptile16, pbone, slot_of, n_steps))
+    return (dpts_s.astype(jnp.float32), drg.astype(rg.dtype),
+            dtg.astype(tg.dtype),
+            dvol[:B].astype(vol_qz.dtype)) + dtables
+
+
+inverse_core_bp_s.defvjp(
+    lambda p, r, t, v, pt16, pb, so, ns, prec: _bp_fwd(
+        p, r, t, v, pt16, pb, so, ns, prec),
+    _bp_bwd)
 
 
 # ---------------------------------------------------------------------------
@@ -1939,9 +2585,10 @@ def inverse_lbs(pts, motion_scale_Rs, motion_Ts, motion_weights_vol,
     vol_qz = jnp.transpose(motion_weights_vol[:B], (0, 3, 2, 1)).reshape(
         B, G * G, G)
     if pair_grid:
-        core = (inverse_core_pgw
-                if _os.environ.get("HOSNERF_PG_IMPL", "quad") == "win"
-                else inverse_core_pg)
+        core = {"win": inverse_core_pgw,
+                "quad": inverse_core_pg,
+                "bp": inverse_core_bp}[
+            _os.environ.get("HOSNERF_PG_IMPL", "quad")]
     else:
         core = inverse_core
     acc = core(pts, rg, tg, vol_qz, precision)
@@ -1954,14 +2601,19 @@ def inverse_lbs(pts, motion_scale_Rs, motion_Ts, motion_weights_vol,
 
 def forward_lbs_multi(pts, motion_scale_Rs_fwd, motion_Ts_fwd,
                       motion_weights_vol, cnl_bbox_min_xyz,
-                      cnl_bbox_scale_xyz, *, precision: str = "bf16"):
+                      cnl_bbox_scale_xyz, *, precision: str = "bf16",
+                      k0_blocks=None):
     """Fully fused forward LBS for K transform sets: bone weights sampled
     once at the shared canonical points and blended against each set's
     affines inside the kernel — semantics of ops/lbs.bone_weights +
     ops/lbs.apply_forward_lbs_multi (ref network.py:355-396,472-535).
 
     pts [N,3] world canonical points; motion_scale_Rs_fwd [K,B,3,3];
-    motion_Ts_fwd [K,B,3]. Returns (x_deform [K,N,3], wsum [N,1])."""
+    motion_Ts_fwd [K,B,3]. Returns (x_deform [K,N,3], wsum [N,1]).
+
+    k0_blocks: optional traced scalar — first live TILE_SH block when the
+    caller's points are liveness-sorted (dead prefix skipped fwd+bwd;
+    its output rows are garbage and must be masked downstream)."""
     B = motion_weights_vol.shape[0] - 1
     D, H, W = motion_weights_vol.shape[1:]
     assert D == H == W, "pallas forward_lbs_multi assumes cubic volumes"
@@ -1982,7 +2634,9 @@ def forward_lbs_multi(pts, motion_scale_Rs_fwd, motion_Ts_fwd,
     rmat = jnp.concatenate(
         [jnp.concatenate([Rp[k, :, c, :], Tp[k, :, c:c + 1]], axis=1)
          for k in range(K) for c in range(3)], axis=1)
-    out = shared_blend_core(pts_g, vol_all, rmat, precision)
+    k0 = jnp.asarray(0 if k0_blocks is None else k0_blocks,
+                     jnp.int32).reshape(1)
+    out = shared_blend_core(pts_g, vol_all, rmat, k0, precision)
     wsum = out[:, 3 * K:3 * K + 1]
     m = jnp.maximum(wsum, 1e-4)
     acc = out[:, :3 * K].reshape(-1, K, 3)

@@ -483,6 +483,16 @@ def _ebwd_kernel(x_ref, aux_ref, alpha_ref, *refs,
     dx_ref[:, :] = _embed_bwd(x, g_ex, espec, alpha)
 
 
+def _efwd_kernel_k0(k0_ref, *refs, spec, espec):
+    """PrefetchScalarGridSpec prepends the k0 scalar ref — drop it (it is
+    only consumed by the grid and the index maps)."""
+    _efwd_kernel(*refs, spec=spec, espec=espec)
+
+
+def _ebwd_kernel_k0(k0_ref, *refs, spec, espec):
+    _ebwd_kernel(*refs, spec=spec, espec=espec)
+
+
 @functools.lru_cache(maxsize=None)
 def _make_embed_fused(spec_key, espec_key, tile):
     spec = _SpecFromKey(spec_key)
@@ -491,28 +501,38 @@ def _make_embed_fused(spec_key, espec_key, tile):
     dlast = spec.layer_dims[-1][1]
     A = espec.aux_width
 
+    # All index maps receive (i, k0_ref) under PrefetchScalarGridSpec:
+    # k0_ref[0] is the first live block — the kernel only runs on blocks
+    # [k0, n_blocks), skipping a known-dead prefix (live-suffix mode;
+    # k0 = 0 processes everything). Skipped output blocks are UNWRITTEN
+    # (garbage) — callers must mask them downstream.
     def wb_specs():
         specs = []
         for (di, do) in spec.layer_dims:
-            specs.append(pl.BlockSpec((di, do), lambda i: (0, 0),
+            specs.append(pl.BlockSpec((di, do), lambda i, k0: (0, 0),
                                       memory_space=pltpu.VMEM))
-            specs.append(pl.BlockSpec((1, do), lambda i: (0, 0),
+            specs.append(pl.BlockSpec((1, do), lambda i, k0: (0, 0),
                                       memory_space=pltpu.VMEM))
-        specs.append(pl.BlockSpec((dlast, spec.out_dim), lambda i: (0, 0),
+        specs.append(pl.BlockSpec((dlast, spec.out_dim),
+                                  lambda i, k0: (0, 0),
                                   memory_space=pltpu.VMEM))
-        specs.append(pl.BlockSpec((1, spec.out_dim), lambda i: (0, 0),
+        specs.append(pl.BlockSpec((1, spec.out_dim),
+                                  lambda i, k0: (0, 0),
                                   memory_space=pltpu.VMEM))
         return specs
 
-    x_spec = pl.BlockSpec((tile, 3), lambda i: (i, 0),
+    def live(i, k0):
+        return k0[0] + i
+
+    x_spec = pl.BlockSpec((tile, 3), lambda i, k0: (live(i, k0), 0),
                           memory_space=pltpu.VMEM)
     if espec.aux_mode == "broadcast":
-        aux_spec = pl.BlockSpec((1, A), lambda i: (0, 0),
+        aux_spec = pl.BlockSpec((1, A), lambda i, k0: (0, 0),
                                 memory_space=pltpu.VMEM)
     else:
-        aux_spec = pl.BlockSpec((tile, A), lambda i: (i, 0),
+        aux_spec = pl.BlockSpec((tile, A), lambda i, k0: (live(i, k0), 0),
                                 memory_space=pltpu.VMEM)
-    alpha_spec = pl.BlockSpec((1, 1), lambda i: (0, 0),
+    alpha_spec = pl.BlockSpec((1, 1), lambda i, k0: (0, 0),
                               memory_space=pltpu.SMEM)
 
     def prep(x, aux, alpha):
@@ -524,61 +544,72 @@ def _make_embed_fused(spec_key, espec_key, tile):
         al = jnp.asarray(alpha, jnp.float32).reshape(1, 1)
         return xp, auxp, al, n
 
-    def run_fwd(x, aux, alpha, params):
+    def grid_of(xp, k0):
+        n_blocks = xp.shape[0] // tile
+        return (jnp.maximum(n_blocks - k0[0], 0),)
+
+    def run_fwd(x, aux, alpha, k0, params):
         xp, auxp, al, n = prep(x, aux, alpha)
-        grid = (xp.shape[0] // tile,)
         out = pl.pallas_call(
-            functools.partial(_efwd_kernel, spec=spec, espec=espec),
-            grid=grid,
-            in_specs=[x_spec, aux_spec, alpha_spec] + wb_specs(),
-            out_specs=pl.BlockSpec((tile, spec.out_dim), lambda i: (i, 0),
-                                   memory_space=pltpu.VMEM),
+            functools.partial(_efwd_kernel_k0, spec=spec, espec=espec),
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=grid_of(xp, k0),
+                in_specs=[x_spec, aux_spec, alpha_spec] + wb_specs(),
+                out_specs=pl.BlockSpec((tile, spec.out_dim),
+                                       lambda i, k0: (live(i, k0), 0),
+                                       memory_space=pltpu.VMEM),
+            ),
             out_shape=jax.ShapeDtypeStruct((xp.shape[0], spec.out_dim),
                                            jnp.float32),
             interpret=_interpret(),
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=100 * 2**20),
-        )(xp, auxp, al, *params)
+        )(k0, xp, auxp, al, *params)
         return out[:n]
 
-    def run_bwd(x, aux, alpha, params, gout):
+    def run_bwd(x, aux, alpha, k0, params, gout):
         xp, auxp, al, n = prep(x, aux, alpha)
         gp, _ = _pad_rows(gout.astype(jnp.float32), tile)
-        grid = (xp.shape[0] // tile,)
         dwb_specs, dwb_shapes = [], []
         for (di, do) in list(spec.layer_dims) + [(dlast, spec.out_dim)]:
-            dwb_specs.append(pl.BlockSpec((di, do), lambda i: (0, 0),
+            dwb_specs.append(pl.BlockSpec((di, do), lambda i, k0: (0, 0),
                                           memory_space=pltpu.VMEM))
             dwb_shapes.append(jax.ShapeDtypeStruct((di, do), jnp.float32))
-            dwb_specs.append(pl.BlockSpec((1, do), lambda i: (0, 0),
+            dwb_specs.append(pl.BlockSpec((1, do), lambda i, k0: (0, 0),
                                           memory_space=pltpu.VMEM))
             dwb_shapes.append(jax.ShapeDtypeStruct((1, do), jnp.float32))
         if espec.aux_mode == "broadcast":
-            daux_spec = pl.BlockSpec((1, A), lambda i: (0, 0),
+            daux_spec = pl.BlockSpec((1, A), lambda i, k0: (0, 0),
                                      memory_space=pltpu.VMEM)
             daux_shape = jax.ShapeDtypeStruct((1, A), jnp.float32)
         else:
-            daux_spec = pl.BlockSpec((tile, A), lambda i: (i, 0),
+            daux_spec = pl.BlockSpec((tile, A),
+                                     lambda i, k0: (live(i, k0), 0),
                                      memory_space=pltpu.VMEM)
             daux_shape = jax.ShapeDtypeStruct((xp.shape[0], A),
                                               jnp.float32)
         outs = pl.pallas_call(
-            functools.partial(_ebwd_kernel, spec=spec, espec=espec),
-            grid=grid,
-            in_specs=([x_spec, aux_spec, alpha_spec] + wb_specs()
-                      + [pl.BlockSpec((tile, spec.out_dim),
-                                      lambda i: (i, 0),
-                                      memory_space=pltpu.VMEM)]),
-            out_specs=([pl.BlockSpec((tile, 3), lambda i: (i, 0),
-                                     memory_space=pltpu.VMEM),
-                        daux_spec] + dwb_specs),
+            functools.partial(_ebwd_kernel_k0, spec=spec, espec=espec),
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=grid_of(xp, k0),
+                in_specs=([x_spec, aux_spec, alpha_spec] + wb_specs()
+                          + [pl.BlockSpec((tile, spec.out_dim),
+                                          lambda i, k0: (live(i, k0), 0),
+                                          memory_space=pltpu.VMEM)]),
+                out_specs=([pl.BlockSpec((tile, 3),
+                                         lambda i, k0: (live(i, k0), 0),
+                                         memory_space=pltpu.VMEM),
+                            daux_spec] + dwb_specs),
+            ),
             out_shape=([jax.ShapeDtypeStruct((xp.shape[0], 3),
                                              jnp.float32),
                         daux_shape] + dwb_shapes),
             interpret=_interpret(),
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=100 * 2**20),
-        )(xp, auxp, al, *params, gp)
+        )(k0, xp, auxp, al, *params, gp)
         dx = outs[0][:n]
         daux = outs[1]
         if espec.aux_mode == "broadcast":
@@ -593,20 +624,22 @@ def _make_embed_fused(spec_key, espec_key, tile):
         return dx, daux, tuple(dparams)
 
     @jax.custom_vjp
-    def fused(x, aux, alpha, *params):
-        return run_fwd(x, aux, alpha, params)
+    def fused(x, aux, alpha, k0, *params):
+        return run_fwd(x, aux, alpha, k0, params)
 
-    def fwd(x, aux, alpha, *params):
-        return run_fwd(x, aux, alpha, params), (x, aux, alpha, params)
+    def fwd(x, aux, alpha, k0, *params):
+        return run_fwd(x, aux, alpha, k0, params), (x, aux, alpha, k0,
+                                                    params)
 
     def bwd(res, gout):
-        x, aux, alpha, params = res
-        dx, daux, dparams = run_bwd(x, aux, alpha, params, gout)
+        x, aux, alpha, k0, params = res
+        dx, daux, dparams = run_bwd(x, aux, alpha, k0, params, gout)
         dparams = tuple(dp.astype(p.dtype)
                         for dp, p in zip(dparams, params))
         dalpha = jnp.zeros_like(jnp.asarray(alpha, jnp.float32))
+        dk0 = np.zeros(np.shape(k0), jax.dtypes.float0)
         return (dx.astype(x.dtype), daux.astype(aux.dtype),
-                dalpha) + dparams
+                dalpha, dk0) + dparams
 
     fused.defvjp(fwd, bwd)
     return fused
@@ -619,10 +652,18 @@ def fused_embed_trunk(x, aux, alpha,
                       kind: str, multires: int, aux_mode: str,
                       aux_first: bool, skip_before: Optional[int],
                       skip_source: str, precision: str = "bf16",
-                      tile: int = 1024) -> jnp.ndarray:
+                      tile: int = 1024, k0_blocks=None) -> jnp.ndarray:
     """Embed + trunk + head, fully fused. x [N, 3] raw points; aux =
     state row [A] (broadcast) or condition codes [N, A] (stream); alpha =
     hann anneal scalar (ignored for 'fourier').
+
+    k0_blocks: optional traced scalar — first live `tile`-block. When the
+    caller has sorted its samples so rows [0, k0_blocks*tile) are known
+    dead (zero loss contribution AND zero cotangents), the kernel runs
+    only blocks [k0_blocks, n_blocks): forward AND backward skip the
+    dead prefix, whose output rows are left UNWRITTEN (garbage) — the
+    caller MUST mask them before any NaN-sensitive use. Parameter
+    gradients are exact (dead rows carry zero cotangents by contract).
 
     layer_params in the flax orientation ([din, dout] kernels with the
     ORIGINAL interleaved embed row order — this wrapper permutes the rows
@@ -672,7 +713,10 @@ def fused_embed_trunk(x, aux, alpha,
     fused = _make_embed_fused(spec_key, espec.key(), tile)
     if alpha is None:
         alpha = 0.0
-    return fused(x, aux, alpha, *params)
+    if k0_blocks is None:
+        k0_blocks = 0
+    k0 = jnp.asarray(k0_blocks, jnp.int32).reshape(1)
+    return fused(x, aux, alpha, k0, *params)
 
 
 def fused_trunk(x, layer_params: Sequence[Tuple[jnp.ndarray, jnp.ndarray]],

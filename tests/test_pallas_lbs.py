@@ -366,3 +366,99 @@ def test_pairgrid_grads_match_dense(data_pg):
         np.testing.assert_allclose(np.asarray(a) / scale,
                                    np.asarray(b) / scale,
                                    atol=5e-5, err_msg=nm)
+
+
+# ---------------------------------------------------------------------------
+# bone-packed pair-grid kernel (4 independent (tile, bone) pairs per step)
+# ---------------------------------------------------------------------------
+
+
+def test_bonepacked_values_match_dense(data_pg):
+    pts, Rs, Ts, vol, bmin, bscale = data_pg
+    Bb, Gg = 26, 32
+    s, o = plbs._grid_affine(bmin, bscale, Gg)
+    rg = (Rs * s[None, :, None]).reshape(Bb, 9)
+    tg = Ts * s[None, :] + o[None, :]
+    vol_qz = jnp.transpose(vol[:Bb], (0, 3, 2, 1)).reshape(Bb, Gg * Gg, Gg)
+    acc_bp = plbs.inverse_core_bp(pts, rg, tg, vol_qz, "highest")
+    acc_d = plbs.inverse_core(pts, rg, tg, vol_qz, "highest")
+    np.testing.assert_allclose(np.asarray(acc_bp), np.asarray(acc_d),
+                               atol=3e-5, rtol=1e-5)
+
+
+def test_bonepacked_grads_match_dense(data_pg):
+    pts, Rs, Ts, vol, bmin, bscale = data_pg
+    import os
+    os.environ["HOSNERF_PG_IMPL"] = "bp"
+    try:
+        def loss(fn, p, R, T, v):
+            xs, fg = fn(p, R, T, v, bmin, bscale)
+            w = jnp.concatenate([jnp.cos(xs), jnp.sin(fg)], axis=1)
+            return jnp.sum(w * jnp.arange(w.size).reshape(w.shape))
+
+        import functools
+        f_bp = functools.partial(plbs.inverse_lbs, precision="highest",
+                                 pair_grid=True)
+        f_dn = functools.partial(plbs.inverse_lbs, precision="highest",
+                                 pair_grid=False)
+        g_bp = jax.grad(lambda *a: loss(f_bp, *a), argnums=(0, 1, 2, 3))(
+            pts, Rs, Ts, vol)
+        g_dn = jax.grad(lambda *a: loss(f_dn, *a), argnums=(0, 1, 2, 3))(
+            pts, Rs, Ts, vol)
+        for nm, a, b in zip(["dpts", "dRs", "dTs", "dvol"], g_bp, g_dn):
+            scale = max(float(jnp.abs(b).max()), 1e-6)
+            np.testing.assert_allclose(np.asarray(a) / scale,
+                                       np.asarray(b) / scale,
+                                       atol=2e-6, err_msg=nm)
+    finally:
+        del os.environ["HOSNERF_PG_IMPL"]
+
+
+def test_bonepacked_slot_pairs_cover_exactly(data_pg):
+    """Every alive (tile, bone) pair appears exactly once across the
+    slot streams; pads are dummy bones on the slot's last tile; per-slot
+    tile sequences are non-decreasing."""
+    pts, Rs, Ts, vol, bmin, bscale = data_pg
+    Bb, Gg = 26, 32
+    s, o = plbs._grid_affine(bmin, bscale, Gg)
+    rg = (Rs * s[None, :, None]).reshape(Bb, 9)
+    tg = Ts * s[None, :] + o[None, :]
+    NGB, BPD = plbs._pg_pad_shapes(Bb, Gg)
+    rgp = jnp.pad(rg, ((0, BPD - Bb), (0, 0)))
+    tgp = jnp.pad(tg, ((0, BPD - Bb), (0, 0)))
+    pts_p, n = plbs._pad_rows(pts, plbs.TILE_PG)
+    sup = plbs._sample_support(pts_p, rgp, tgp, Gg)
+    sup = sup & (jnp.arange(BPD) < Bb)[None, :]
+    sup = sup & (jnp.arange(pts_p.shape[0]) < n)[:, None]
+    perm, _ = plbs._support_sort_perm(sup)
+    n_tiles = pts_p.shape[0] // plbs.TILE_PG
+    alive = np.asarray(jnp.any(
+        sup[perm].reshape(n_tiles, plbs.TILE_PG, BPD), axis=1))
+    ptile16, pbone, slot_of, n_steps = plbs._slot_pairs(
+        jnp.asarray(alive), Bb, BPD, Gg)
+    NS = 128 // Gg
+    L = int(n_steps)
+    t16 = np.asarray(ptile16)
+    cap2 = t16.shape[1]
+    tiles = np.zeros((NS, cap2 * 2), np.int64)
+    tiles[:, 0::2] = t16 & 0xFFFF
+    tiles[:, 1::2] = (t16 >> 16) & 0xFFFF
+    # pbone is [cap] with NS byte-packed bones per step
+    pb = np.asarray(pbone)
+    bones = np.stack([(pb >> (8 * j)) & 0xFF for j in range(NS)], 0)
+
+    seen = set()
+    so = np.asarray(slot_of)
+    for j in range(NS):
+        tj = tiles[j, :L]
+        bj = bones[j, :L]
+        assert (np.diff(tj) >= 0).all(), f"slot {j} tiles not sorted"
+        for t, b in zip(tj, bj):
+            if b < Bb:
+                assert alive[t, b], (j, t, b)
+                assert so[t] == j
+                assert (t, b) not in seen
+                seen.add((t, b))
+    expect = {(t, b) for t in range(n_tiles) for b in range(Bb)
+              if alive[t, b]}
+    assert seen == expect
