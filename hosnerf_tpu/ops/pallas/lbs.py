@@ -2344,15 +2344,15 @@ class BPDomain:
     block offset (`k0_for(tile)`), and the exact sample-level dead/live
     boundary is `n_dead_groups * SORT_GROUP` (`live_row_mask`)."""
 
-    def __init__(self, pts_s, perm, inv_perm, n, alive, n_dead_groups,
+    def __init__(self, n_pad, perm, inv_perm, n, alive, n_dead_groups,
                  tables):
-        self.pts_s = pts_s              # [n_pad, 3] sorted f32
+        self.n_pad = n_pad              # padded (sorted-domain) rows
         self.perm = perm                # [n_pad]
         self.inv_perm = inv_perm        # [n_pad]
         self.n = n                      # true (unpadded) sample count
         self.alive = alive              # [n_tiles, BPD] bool
         self.n_dead_groups = n_dead_groups   # traced scalar
-        self.tables = tables            # (ptile16, pbone, slot_of, n_steps)
+        self.tables = tables            # kernel pair tables
 
     def k0_for(self, tile: int):
         """First live block at a consumer's tile size (floor — blocks
@@ -2363,9 +2363,8 @@ class BPDomain:
         """[n_pad, 1] f32: 1 on rows at/after the exact dead/live sample
         boundary. Rows below it are dead in exact math (zero support ->
         masked out of every loss) and may hold kernel garbage."""
-        n_pad = self.pts_s.shape[0]
         boundary = self.n_dead_groups * SORT_GROUP
-        return (jnp.arange(n_pad) >= boundary).astype(
+        return (jnp.arange(self.n_pad) >= boundary).astype(
             jnp.float32)[:, None]
 
     def unsort(self, x_s):
@@ -2376,10 +2375,11 @@ class BPDomain:
     def sort_rows(self, x):
         """Original-order [n, ...] array -> sorted domain [n_pad, ...]
         (zero-pads, then gathers; VJP is gathers both ways)."""
-        pad = self.pts_s.shape[0] - x.shape[0]
-        xp = jnp.concatenate(
-            [x, jnp.zeros((pad,) + x.shape[1:], x.dtype)], axis=0)
-        return permute_rows(xp, self.perm, self.inv_perm)
+        pad = self.n_pad - x.shape[0]
+        if pad:
+            x = jnp.concatenate(
+                [x, jnp.zeros((pad,) + x.shape[1:], x.dtype)], axis=0)
+        return permute_rows(x, self.perm, self.inv_perm)
 
 
 def bp_prepare(pts_g, rg, tg, G: int, B: int,
@@ -2391,23 +2391,35 @@ def bp_prepare(pts_g, rg, tg, G: int, B: int,
     (the bone-packed experiment — `inverse_core_bp_s` tables)."""
     _, BPD = _pg_pad_shapes(B, G)
     pts_p, n = _pad_rows(pts_g.astype(jnp.float32), TILE_PG)
+    n_pad = pts_p.shape[0]
     rgp = jnp.pad(rg.astype(jnp.float32), ((0, BPD - B), (0, 0)))
     tgp = jnp.pad(tg.astype(jnp.float32), ((0, BPD - B), (0, 0)))
     sup = _sample_support(jax.lax.stop_gradient(pts_p),
                           jax.lax.stop_gradient(rgp),
                           jax.lax.stop_gradient(tgp), G)
     sup = sup & (jnp.arange(BPD) < B)[None, :]
-    sup = sup & (jnp.arange(pts_p.shape[0]) < n)[:, None]
-    perm, inv_perm = _support_sort_perm(sup)
-    n_groups = pts_p.shape[0] // SORT_GROUP
-    g_any = jnp.any(sup.reshape(n_groups, SORT_GROUP, BPD), axis=(1, 2))
-    n_dead_groups = n_groups - jnp.sum(g_any.astype(jnp.int32))
-    pts_s = pts_p[perm]
-    n_tiles = pts_s.shape[0] // TILE_PG
-    alive = jnp.any(sup[perm].reshape(n_tiles, TILE_PG, BPD), axis=1)
+    sup = sup & (jnp.arange(n_pad) < n)[:, None]
+    # everything below works on GROUP-level signatures ([n/8, BPD]) —
+    # the full [n_pad, BPD] support matrix is never permuted (that
+    # gather measured ~2 ms at production sizes)
+    n_groups = n_pad // SORT_GROUP
+    g = jnp.any(sup.reshape(n_groups, SORT_GROUP, BPD), axis=1)
+    sig = jnp.sum(g.astype(jnp.int32)
+                  << jnp.arange(BPD, dtype=jnp.int32)[None], axis=1)
+    gperm = jnp.argsort(sig)                        # stable: ray order
+    inv_gperm = jnp.zeros((n_groups,), gperm.dtype).at[gperm].set(
+        jnp.arange(n_groups, dtype=gperm.dtype), unique_indices=True)
+    lane = jnp.arange(SORT_GROUP)[None, :]
+    perm = (gperm[:, None] * SORT_GROUP + lane).reshape(-1)
+    inv_perm = (inv_gperm[:, None] * SORT_GROUP + lane).reshape(-1)
+    n_dead_groups = n_groups - jnp.sum(
+        jnp.any(g, axis=1).astype(jnp.int32))
+    gpt = TILE_PG // SORT_GROUP                     # groups per tile
+    n_tiles = n_pad // TILE_PG
+    alive = jnp.any(g[gperm].reshape(n_tiles, gpt, BPD), axis=1)
     tables = (_slot_pairs(alive, B, BPD, G) if kind == "bp"
               else _compact_pairs(alive, B, BPD, G))
-    return BPDomain(pts_s, perm, inv_perm, n, alive, n_dead_groups,
+    return BPDomain(n_pad, perm, inv_perm, n, alive, n_dead_groups,
                     tables)
 
 
