@@ -850,9 +850,13 @@ def _pg_bwd_kernel(ptile_ref, pbone_ref, coef_ref, pts_ref, volq_ref,
                    *, G: int, prec: str):
     """Backward of one pair by recomputation (mirrors
     `_inverse_bwd_kernel`'s group body). dpts accumulates into the
-    revisited tile block; dvol accumulates per bone via dynamic-index +=
-    into the full-size resident block; dr is written PER PAIR (block i)
-    and segment-summed by bone on the XLA side."""
+    revisited tile block; dvol AND dRg/dTg accumulate per bone via
+    dynamic-index += into full-size resident blocks (dr was a per-pair
+    [cap, 3, 4, 128] HBM table + XLA segment_sum until round 5 — the
+    resident [BPD, 4, 3] form retires ~88 MB of HBM traffic and the
+    XLA-side pass; measured TIME-NEUTRAL at the 2-patch batch, 48.8 vs
+    49.4 ms fwd+bwd — that traffic fully overlapped with compute — and
+    kept for the smaller memory footprint and simpler XLA tail)."""
     NGB = 128 // G
     i = pl.program_id(0)
     prev = ptile_ref[jnp.maximum(i - 1, 0)]
@@ -861,6 +865,7 @@ def _pg_bwd_kernel(ptile_ref, pbone_ref, coef_ref, pts_ref, volq_ref,
     @pl.when(i == 0)
     def _init():
         dvol_ref[:, :, :] = jnp.zeros_like(dvol_ref)
+        dr_ref[:, :, :] = jnp.zeros_like(dr_ref)
 
     x = pts_ref[:, 0:1]
     y = pts_ref[:, 1:2]
@@ -915,9 +920,13 @@ def _pg_bwd_kernel(ptile_ref, pbone_ref, coef_ref, pts_ref, volq_ref,
     dfy4 = gy * wB4 + gw4 * dfyr4
     dfz4 = gz * wB4 + gw4 * segsum(dhz4 * zcols4)
 
-    dr_ref[0, 0] = _mm(p4, dfx4, "highest", dims=dims_t)
-    dr_ref[0, 1] = _mm(p4, dfy4, "highest", dims=dims_t)
-    dr_ref[0, 2] = _mm(p4, dfz4, "highest", dims=dims_t)
+    # dRg/dTg: per bone, p4^T @ (dfx | dfy | dfz at the segment's first
+    # lane — all three are segment-constant) -> [4, 3], accumulated
+    for j in range(NGB):
+        c = slice(G * j, G * j + 1)
+        d3 = jnp.concatenate([dfx4[:, c], dfy4[:, c], dfz4[:, c]],
+                             axis=1)                      # [T, 3]
+        dr_ref[bs[j]] += _mm(p4, d3, "highest", dims=dims_t)
 
     # chain through the bone affines (coefficient rows reused from
     # `_pg_segs`); df<c>4 lanes overcount by G -> 1/G
@@ -1107,7 +1116,6 @@ def _pg_bwd_kernel_run(prec, pts_s, rg, tg, vol_qz, pair_tile,
     B, QQ, G = vol_qz.shape
     NGB, BPD = _pg_pad_shapes(B, G)
     n_pad = pts_s.shape[0]
-    cap = pair_tile.shape[0]
     rgp = jnp.pad(rg.astype(jnp.float32), ((0, BPD - B), (0, 0)))
     tgp = jnp.pad(tg.astype(jnp.float32), ((0, BPD - B), (0, 0)))
     coef = _pg_coef(rgp, tgp)
@@ -1136,15 +1144,15 @@ def _pg_bwd_kernel_run(prec, pts_s, rg, tg, vol_qz, pair_tile,
             out_specs=[
                 pl.BlockSpec((TILE_PG, 3), lambda i, pt, pb, cf: (pt[i], 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 3, 4, 128), lambda i, pt, pb, cf:
-                             (i, 0, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((BPD, 4, 3), lambda i, pt, pb, cf:
+                             (0, 0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((BPD, G * G, G), lambda i, pt, pb, cf:
                              (0, 0, 0), memory_space=pltpu.VMEM),
             ],
         ),
         out_shape=[
             jax.ShapeDtypeStruct((n_pad, 3), jnp.float32),
-            jax.ShapeDtypeStruct((cap, 3, 4, 128), jnp.float32),
+            jax.ShapeDtypeStruct((BPD, 4, 3), jnp.float32),
             jax.ShapeDtypeStruct((BPD, QQ, G), jnp.float32),
         ],
         interpret=_interpret(),
@@ -1153,17 +1161,9 @@ def _pg_bwd_kernel_run(prec, pts_s, rg, tg, vol_qz, pair_tile,
     )(pair_tile, _pack_bones(pair_bone, NGB), coef, pts_s, vol, kseg,
       gacc_p)
 
-    # dr: mask tail (blocks past n_pairs are never written -> garbage),
-    # pick each quad-lane's segment start, segment-sum by bone
-    valid = (jnp.arange(cap) < n_pairs)[:, None, None, None]
-    drm = jnp.where(valid, dr_pairs, 0.0)
-    sub = drm[:, :, :, G * np.arange(NGB)]           # [cap, 3, 4, NGB]
-    sub = jnp.transpose(sub, (0, 3, 1, 2)).reshape(cap * NGB, 12)
-    per_bone = jax.ops.segment_sum(
-        sub, pair_bone.reshape(-1), num_segments=BPD)  # [BPD, 12]
-    per_bone = per_bone.reshape(BPD, 3, 4)
-    drg = per_bone[:B, :, :3].reshape(B, 9)
-    dtg = per_bone[:B, :, 3]
+    per_bone = dr_pairs[:B]                          # [B, 4(p4), 3(c)]
+    drg = jnp.transpose(per_bone[:, :3, :], (0, 2, 1)).reshape(B, 9)
+    dtg = per_bone[:, 3, :]
     return (dpts_s.astype(jnp.float32), drg.astype(rg.dtype),
             dtg.astype(tg.dtype), dvol[:B].astype(vol_qz.dtype))
 

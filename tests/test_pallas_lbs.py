@@ -462,3 +462,77 @@ def test_bonepacked_slot_pairs_cover_exactly(data_pg):
     expect = {(t, b) for t in range(n_tiles) for b in range(Bb)
               if alive[t, b]}
     assert seen == expect
+
+
+def test_forward_lbs_multi_live_suffix(data_pg):
+    """k0_blocks skips the dead prefix: rows >= k0*TILE_SH match the
+    k0=0 run exactly (values and grads through a masked loss)."""
+    pts, Rs, Ts, vol, bmin, bscale = data_pg
+    rng = np.random.RandomState(5)
+    Rk = jnp.stack([Rs, Rs])
+    Tk = jnp.stack([Ts, Ts])
+    n = pts.shape[0]
+    k0 = 1
+    boundary = k0 * plbs.TILE_SH
+
+    def loss(p, v, k0b):
+        x, w = plbs.forward_lbs_multi(p, Rk, Tk, v, bmin, bscale,
+                                      precision="highest", k0_blocks=k0b)
+        mask = (jnp.arange(n) >= boundary).astype(jnp.float32)
+        return (jnp.sum(jnp.where(mask[None, :, None] > 0, x, 0.0))
+                + jnp.sum(jnp.where(mask[:, None] > 0, w, 0.0)))
+
+    # n=700 pads to 1024 = 2 TILE_SH blocks; k0=1 skips the first
+    l0, g0 = jax.value_and_grad(loss, argnums=(0, 1))(pts, vol, 0)
+    l1, g1 = jax.value_and_grad(loss, argnums=(0, 1))(pts, vol, k0)
+    np.testing.assert_allclose(float(l1), float(l0), rtol=1e-6)
+    for a, b in zip(g0, g1):
+        # dead-prefix rows of dpts are unwritten garbage under k0 — the
+        # masked-loss contract zeroes their cotangents, so only live
+        # rows and the (full) dvol must agree
+        if a.shape == pts.shape:
+            np.testing.assert_allclose(np.asarray(b)[boundary:],
+                                       np.asarray(a)[boundary:],
+                                       atol=1e-6, rtol=1e-5)
+        else:
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                       atol=1e-6, rtol=1e-5)
+
+
+def test_fused_embed_trunk_live_suffix():
+    """fused_embed_trunk k0_blocks: live rows and param grads match the
+    full run under a dead-prefix-masked loss."""
+    from hosnerf_tpu.ops.pallas import mlp as pmlp
+    rng = jax.random.key(0)
+    N, tile = 700, 256
+    x = jax.random.normal(rng, (N, 3))
+    aux = jax.random.normal(rng, (16,))
+    layers = []
+    for i in range(4):
+        d_in = 63 + 16 if i == 0 else (32 + 63 + 16 if i == 2 else 32)
+        layers.append((jax.random.normal(jax.random.fold_in(rng, i),
+                                         (d_in, 32)) * 0.1,
+                       jnp.zeros((32,))))
+    out_p = (jax.random.normal(jax.random.fold_in(rng, 9),
+                               (32, 4)) * 0.1, jnp.zeros((4,)))
+    k0 = 1
+    boundary = k0 * tile
+
+    def loss(xx, params, k0b):
+        ls = [(params[2 * i], params[2 * i + 1]) for i in range(4)]
+        op = (params[8], params[9])
+        o = pmlp.fused_embed_trunk(
+            xx, aux, None, ls, op, kind="fourier", multires=10,
+            aux_mode="broadcast", aux_first=False, skip_before=2,
+            skip_source="full_input", precision="highest", tile=tile,
+            k0_blocks=k0b)
+        mask = (jnp.arange(N) >= boundary).astype(jnp.float32)[:, None]
+        return jnp.sum(jnp.where(mask > 0, o, 0.0))
+
+    flat = [p for wb in layers for p in wb] + list(out_p)
+    l0, g0 = jax.value_and_grad(loss, argnums=(1,))(x, flat, 0)
+    l1, g1 = jax.value_and_grad(loss, argnums=(1,))(x, flat, k0)
+    np.testing.assert_allclose(float(l1), float(l0), rtol=1e-6)
+    for a, b in zip(g0[0], g1[0]):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   atol=1e-6, rtol=1e-5)

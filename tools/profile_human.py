@@ -147,10 +147,7 @@ def main():
         return (jnp.mean(e1) + jnp.mean(e2) + jnp.mean(e3)
                 + jnp.mean(e4) + 0.0 * prev)
 
-    ge = jax.jit(jax.grad(emb_loss, argnums=(1,)))
-    # grad wrt rngk? no: argnums=(1,) is rngk — wrong. use argnums 2? sig is
-    # (prev, rngk, p) -> p is index 2
-    ge = jax.jit(jax.grad(emb_loss, argnums=(2,)))
+    ge = jax.jit(jax.grad(emb_loss, argnums=(2,)))  # 2 = p (the points)
     chain_time("embedders (3 hannw + fourier)", ge, (pts,))
 
     # ---- motion weight volume decoder ----
