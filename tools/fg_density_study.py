@@ -2,10 +2,11 @@
 
 The reference only forward-warps (and cycle/flow-losses) samples with
 fg_likelihood_mask > threshold, via boolean indexing
-(ref: 2nd.../core/nets/human_nerf/network.py:503-535). Our static-shape
-design computes the forward branch for ALL R*S samples and masks in the
-loss. This tool measures what fraction of samples is actually alive —
-the upper bound of a tile-compacted forward branch.
+(ref: 2nd.../core/nets/human_nerf/network.py:503-535). This tool
+measures what fraction of samples is actually alive — the bound that
+round 5's liveness-sorted sparse pipeline (models/human.py::
+_samples_sorted) realizes: tile_alive below IS the fraction of
+fused-MLP / forward-LBS grid work the production path executes.
 
 Prints:
   inv_alive   : fraction of samples with ANY inverse-bone tap support
