@@ -1914,13 +1914,15 @@ def _shared_blend_fwd(pts_g, vol_all, rmat, k0, prec):
     vol = vol_all.astype(dt)
     sum_blk = jnp.asarray(np.kron(np.eye(B), np.ones((G, 1))), dt)
     n_blocks = pts_p.shape[0] // TILE_SH
+    # all-dead clamp: keep the first block in range / grid >= 1
+    k0 = jnp.minimum(k0, n_blocks - 1)
     kern = functools.partial(_shared_blend_fwd_kernel_k0, B=B, G=G, K=K,
                              prec=prec)
     out = pl.pallas_call(
         kern,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
-            grid=(jnp.maximum(n_blocks - k0[0], 0),),
+            grid=(n_blocks - k0[0],),
             in_specs=[
                 pl.BlockSpec((TILE_SH, 3), lambda i, k0: (k0[0] + i, 0),
                              memory_space=pltpu.VMEM),
@@ -1957,13 +1959,14 @@ def _shared_blend_bwd(prec, res, gout):
     sum_blk = jnp.asarray(np.kron(np.eye(B), np.ones((G, 1))), dt)
     expand = jnp.asarray(np.kron(np.eye(B), np.ones((1, G))), dt)
     n_blocks = pts_p.shape[0] // TILE_SH
+    k0 = jnp.minimum(k0, n_blocks - 1)
     kern = functools.partial(_shared_blend_bwd_kernel_k0, B=B, G=G, K=K,
                              prec=prec)
     dpts, dvol, drmat = pl.pallas_call(
         kern,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
-            grid=(jnp.maximum(n_blocks - k0[0], 0),),
+            grid=(n_blocks - k0[0],),
             in_specs=[
                 pl.BlockSpec((TILE_SH, 3), lambda i, k0: (k0[0] + i, 0),
                              memory_space=pltpu.VMEM),

@@ -544,12 +544,19 @@ def _make_embed_fused(spec_key, espec_key, tile):
         al = jnp.asarray(alpha, jnp.float32).reshape(1, 1)
         return xp, auxp, al, n
 
-    def grid_of(xp, k0):
+    def clamp_k0(xp, k0):
+        # clamp so an ALL-dead batch (k0 == n_blocks) still runs one
+        # in-range block instead of a zero-trip grid whose first block
+        # index is out of range (the caller masks dead rows either way)
         n_blocks = xp.shape[0] // tile
-        return (jnp.maximum(n_blocks - k0[0], 0),)
+        return jnp.minimum(k0, n_blocks - 1)
+
+    def grid_of(xp, k0):
+        return (xp.shape[0] // tile - k0[0],)
 
     def run_fwd(x, aux, alpha, k0, params):
         xp, auxp, al, n = prep(x, aux, alpha)
+        k0 = clamp_k0(xp, k0)
         out = pl.pallas_call(
             functools.partial(_efwd_kernel_k0, spec=spec, espec=espec),
             grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -570,6 +577,7 @@ def _make_embed_fused(spec_key, espec_key, tile):
 
     def run_bwd(x, aux, alpha, k0, params, gout):
         xp, auxp, al, n = prep(x, aux, alpha)
+        k0 = clamp_k0(xp, k0)
         gp, _ = _pad_rows(gout.astype(jnp.float32), tile)
         dwb_specs, dwb_shapes = [], []
         for (di, do) in list(spec.layer_dims) + [(dlast, spec.out_dim)]:

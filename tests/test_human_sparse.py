@@ -122,3 +122,20 @@ def test_sparse_matches_dense_grads(setup):
         np.testing.assert_allclose(
             np.asarray(a) / scale, np.asarray(b) / scale, atol=5e-5,
             err_msg=jax.tree_util.keystr(path))
+
+
+def test_all_dead_batch(setup):
+    """A batch whose rays never enter any bone's support (camera missing
+    the human): every k0 hits its clamp, outputs must stay finite and
+    equal to the dense path's masked outputs (all-zero weights)."""
+    model, params, batch = setup
+    far_batch = dict(batch)
+    far_batch["rays_o"] = batch["rays_o"] + 1e3   # far from the subject
+    out_s = _apply(model, params, far_batch, True)
+    out_d = _apply(model, params, far_batch, False)
+    assert float(jnp.max(out_d["pts_mask"])) == 0.0  # fixture sanity
+    for k in ("rgb", "alpha", "weights", "pts_mask"):
+        assert np.isfinite(np.asarray(out_s[k])).all(), k
+        np.testing.assert_allclose(np.asarray(out_s[k]),
+                                   np.asarray(out_d[k]), atol=3e-5,
+                                   err_msg=k)
