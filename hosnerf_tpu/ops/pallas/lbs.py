@@ -125,7 +125,12 @@ from jax.experimental.pallas import tpu as pltpu
 # intermediates blow the 16 MB scoped-vmem limit at 1024, so they stay
 # at 512.
 TILE_INV = 1024
-TILE_SH = 512
+TILE_SH = int(_os.environ.get("HOSNERF_TILE_SH", 512))
+                  # samples per shared-tap tile. Production-shaped sweep
+                  # on v5e (262k samples, fused forward-LBS fwd+bwd at
+                  # the live-suffix operating point): 12.8 ms @512 vs
+                  # 13.0 @1024 — bigger tiles don't lift the tap-matmul
+                  # MFU. Env override for sweeps.
 
 _HIGHEST = jax.lax.Precision.HIGHEST
 
