@@ -131,6 +131,13 @@ TILE_SH = int(_os.environ.get("HOSNERF_TILE_SH", 512))
                   # the live-suffix operating point): 12.8 ms @512 vs
                   # 13.0 @1024 — bigger tiles don't lift the tap-matmul
                   # MFU. Env override for sweeps.
+assert TILE_SH <= 1024 and 1024 % TILE_SH == 0, (
+    "HOSNERF_TILE_SH must divide the fused-MLP tile (1024): the sparse "
+    "pipeline aligns the forward-LBS skip boundary to the MLP boundary "
+    f"(k0_sh = k0_mlp * 1024/TILE_SH); got {TILE_SH}. A coarser or "
+    "non-divisor tile would feed rows of unwritten garbage from the "
+    "skipped MLP into the forward-LBS kernel (0 * NaN = NaN in its "
+    "resident dRmat accumulator).")
 
 _HIGHEST = jax.lax.Precision.HIGHEST
 
@@ -1047,31 +1054,20 @@ def _pg_vol(vol_qz, BPD, dt):
 
 
 def _pg_fwd(pts_g, rg, tg, vol_qz, prec):
+    """Legacy 'morton'-ordered pair-grid forward (AABB pair build).
+    The production 'sig' ordering routes through bp_prepare +
+    inverse_core_pg_s instead (see inverse_core_pg) — the signature
+    sort/alive logic lives ONLY there."""
     B, QQ, G = vol_qz.shape
     assert QQ == G * G, "inverse_core_pg needs cubic volumes"
     NGB, BPD = _pg_pad_shapes(B, G)
     pts_p, n = _pad_rows(pts_g.astype(jnp.float32), TILE_PG)
     rgp = jnp.pad(rg.astype(jnp.float32), ((0, BPD - B), (0, 0)))
     tgp = jnp.pad(tg.astype(jnp.float32), ((0, BPD - B), (0, 0)))
-    if PG_SORT == "sig":
-        # exact per-sample support drives BOTH the sort key (support-
-        # homogeneous tiles) and the tile-alive predicate (no AABB
-        # false-positives). Padding rows (zeros) map to f = tgp which
-        # may sit in-grid — mask pad channels AND pad rows dead.
-        sup = _sample_support(pts_p, rgp, tgp, G)
-        sup = sup & (jnp.arange(BPD) < B)[None, :]
-        sup = sup & (jnp.arange(pts_p.shape[0]) < n)[:, None]
-        perm, inv_perm = _support_sort_perm(sup)
-        pts_s = pts_p[perm]
-        n_tiles = pts_s.shape[0] // TILE_PG
-        alive = jnp.any(
-            sup[perm].reshape(n_tiles, TILE_PG, BPD), axis=1)
-        pair_tile, pair_bone, n_pairs = _compact_pairs(alive, B, BPD, G)
-    else:
-        perm, inv_perm = _group_sort_perm(pts_p)
-        pts_s = pts_p[perm]
-        pair_tile, pair_bone, n_pairs = _build_pairs(
-            pts_s, rgp, tgp, B, BPD, G)
+    perm, inv_perm = _group_sort_perm(pts_p)
+    pts_s = pts_p[perm]
+    pair_tile, pair_bone, n_pairs = _build_pairs(
+        pts_s, rgp, tgp, B, BPD, G)
     coef = _pg_coef(rgp, tgp)
     dt = jnp.bfloat16 if prec == "bf16" else jnp.float32
     vol = _pg_vol(vol_qz, BPD, dt)
@@ -2005,6 +2001,10 @@ def _shared_blend_bwd(prec, res, gout):
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 2**20),
     )(k0, pts_p, vol, sum_blk, expand, rmat.astype(jnp.float32), g_p)
+    # zero the unwritten dead-prefix dpts rows (uninitialized HBM)
+    live = (jax.lax.broadcasted_iota(jnp.int32, (pts_p.shape[0], 1), 0)
+            >= k0[0] * TILE_SH)
+    dpts = jnp.where(live, dpts, 0.0)
     dk0 = np.zeros((1,), jax.dtypes.float0)
     return (dpts[:n].astype(pts_g.dtype), dvol.astype(vol_all.dtype),
             drmat.astype(rmat.dtype), dk0)
@@ -2398,6 +2398,10 @@ def bp_prepare(pts_g, rg, tg, G: int, B: int,
     kind: 'quad' (production — `inverse_core_pg_s` tables) or 'bp'
     (the bone-packed experiment — `inverse_core_bp_s` tables)."""
     _, BPD = _pg_pad_shapes(B, G)
+    assert BPD <= 31, (
+        "signature packing shifts int32 by the bone-channel index; "
+        f"BPD={BPD} would overflow into the sign bit and break the "
+        "dead-prefix invariant (live groups sorted before dead)")
     pts_p, n = _pad_rows(pts_g.astype(jnp.float32), TILE_PG)
     n_pad = pts_p.shape[0]
     rgp = jnp.pad(rg.astype(jnp.float32), ((0, BPD - B), (0, 0)))

@@ -618,12 +618,20 @@ def _make_embed_fused(spec_key, espec_key, tile):
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=100 * 2**20),
         )(k0, xp, auxp, al, *params, gp)
-        dx = outs[0][:n]
+        # Zero the skipped dead-prefix rows of the STREAMED outputs: the
+        # kernel never writes them (uninitialized HBM). dx the caller
+        # could mask, but stream-mode daux feeds aux gradients whose
+        # broadcast VJP SUMS ALL ROWS (models/human.py cond/cond_prev) —
+        # garbage there silently corrupts pose/condition grads on real
+        # TPU (interpret mode zero-fills, so only hardware sees it).
+        live_rows = (jax.lax.broadcasted_iota(
+            jnp.int32, (xp.shape[0], 1), 0) >= k0[0] * tile)
+        dx = jnp.where(live_rows, outs[0], 0.0)[:n]
         daux = outs[1]
         if espec.aux_mode == "broadcast":
             daux = daux[0]
         else:
-            daux = daux[:n]
+            daux = jnp.where(live_rows, daux, 0.0)[:n]
         dparams = []
         for k, g in enumerate(outs[2:]):
             if k % 2 == 1:  # bias [1, do] -> [do]
