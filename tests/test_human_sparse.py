@@ -9,6 +9,11 @@ garbage rows differ, and those are zeroed before use).
 
 Runs the Pallas kernels in interpret mode on CPU with fused MLPs
 forced (HOSNERF_MLP_IMPL=fused) and lbs_impl='pallas'.
+
+CAVEAT: interpret mode ZERO-FILLS pallas output buffers, so these tests
+cannot detect uninitialized-HBM leaks from skipped blocks (the round-5
+daux bug class). tools/tpu_grad_parity.py runs the same sparse-vs-dense
+gradient comparison on the real chip (measured worst rel 2.4e-6).
 """
 
 import os
